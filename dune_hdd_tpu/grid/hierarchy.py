@@ -1,0 +1,97 @@
+"""Refinement hierarchies + config-driven grid providers.
+
+The reference's test cases hold a grid plus per-level refinement bookkeeping
+and one extra "reference" level (testcases/base.hh:81-130); grid construction
+is a string-keyed provider factory (Stuff::GridProviders::create, used at
+discreteproblem.hh:118-126).
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Mapping, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .structured import Grid, RefinementInfo, refine, rectangle_grid
+
+__all__ = ["GridHierarchy", "prolong_vertex_values", "GridProviders"]
+
+
+class GridHierarchy:
+    """grids[0..L] produced by uniform refinement; infos[l] maps level l to
+    level l+1.  ``reference`` (the finest) plays the role of the reference
+    grid view in EOC studies (testcases/base.hh:92-103: one refinement beyond
+    the last study level)."""
+
+    def __init__(self, initial: Grid, num_levels: int):
+        self.grids: List[Grid] = [initial]
+        self.infos: List[RefinementInfo] = []
+        for _ in range(num_levels):
+            fine, info = refine(self.grids[-1])
+            self.grids.append(fine)
+            self.infos.append(info)
+
+    def __len__(self):
+        return len(self.grids)
+
+    def __getitem__(self, level: int) -> Grid:
+        return self.grids[level]
+
+    @property
+    def reference(self) -> Grid:
+        return self.grids[-1]
+
+    def info(self, level: int) -> RefinementInfo:
+        """Refinement info from ``level`` to ``level+1``."""
+        return self.infos[level]
+
+
+def prolong_vertex_values(values: np.ndarray, info: RefinementInfo) -> np.ndarray:
+    """P1 prolongation: new vertices are midpoints of their two parents, so a
+    piecewise-linear function prolongs by averaging (exact for nested P1).
+    Works with numpy or jax arrays; values may have trailing feature dims.
+    """
+    return 0.5 * (values[info.vertex_parents[:, 0]] + values[info.vertex_parents[:, 1]])
+
+
+class GridProviders:
+    """String-keyed grid factory mirroring Stuff::GridProviders."""
+
+    _registry: Dict[str, Callable[..., Grid]] = {}
+
+    @classmethod
+    def register(cls, name: str, factory: Callable[..., Grid]):
+        cls._registry[name] = factory
+
+    @classmethod
+    def available(cls) -> List[str]:
+        return sorted(cls._registry)
+
+    @classmethod
+    def create(cls, name: str, config: Optional[Mapping] = None) -> Grid:
+        if name not in cls._registry:
+            raise ValueError(f"unknown grid provider {name!r}; available: {cls.available()}")
+        return cls._registry[name](**dict(config or {}))
+
+
+def _cube_provider(
+    lower_left=(0.0, 0.0),
+    upper_right=(1.0, 1.0),
+    num_elements=(8, 8),
+    cell_type: str = "triangle",
+    num_refinements: int = 0,
+    **_ignored,
+) -> Grid:
+    if np.isscalar(num_elements):
+        num_elements = (int(num_elements), int(num_elements))
+    if np.isscalar(lower_left):
+        lower_left = (float(lower_left), float(lower_left))
+    if np.isscalar(upper_right):
+        upper_right = (float(upper_right), float(upper_right))
+    g = rectangle_grid(lower_left, upper_right, num_elements, cell_type)
+    for _ in range(int(num_refinements)):
+        g, _info = refine(g)
+    return g
+
+
+GridProviders.register("stuff.grid.provider.cube", _cube_provider)
+GridProviders.register("cube", _cube_provider)
