@@ -1,0 +1,152 @@
+import math
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dune_hdd_tpu.functions import (
+    CheckerboardFunction,
+    ConstantFunction,
+    ExpressionFunction,
+    FlatTopFunction,
+    IndicatorFunction,
+    Spe10Model1Function,
+    Testcase1ExactSolution,
+    Testcase1Force,
+    make_checkerboard_decomposition,
+)
+from dune_hdd_tpu.problems import (
+    ESV2007Problem,
+    LocalThermalblockProblem,
+    MixedBoundariesProblem,
+    ParametricESV2007Problem,
+    ProblemsProvider,
+    Spe10Model1Problem,
+    ThermalblockProblem,
+    ZeroBoundaryProblem,
+)
+
+
+def test_expression_function_and_gradient():
+    f = ExpressionFunction("1+0.75*(sin(4*pi*(x[0]+0.5*x[1])))", 3)
+    x = jnp.array([[0.1, 0.2], [0.3, -0.4]])
+    expected = 1 + 0.75 * np.sin(4 * np.pi * (x[:, 0] + 0.5 * x[:, 1]))
+    np.testing.assert_allclose(f(x), expected, rtol=1e-12)
+    g = f.gradient(x)
+    expected_gx = 0.75 * 4 * np.pi * np.cos(4 * np.pi * (x[:, 0] + 0.5 * x[:, 1]))
+    np.testing.assert_allclose(g[:, 0], expected_gx, rtol=1e-10)
+    np.testing.assert_allclose(g[:, 1], 0.5 * expected_gx, rtol=1e-10)
+
+
+def test_esv2007_functions_consistent():
+    # -div(grad u) == f for the ESV2007 pair
+    u = Testcase1ExactSolution()
+    f = Testcase1Force()
+    x = jnp.array([[0.3, -0.2]])
+    p = 0.5 * math.pi
+    lap = -2 * p**2 * np.cos(p * 0.3) * np.cos(p * (-0.2))
+    np.testing.assert_allclose(-lap, float(f(x)[0]), rtol=1e-12)
+    g = u.gradient(x)
+    assert g.shape == (1, 2)
+
+
+def test_checkerboard():
+    cb = CheckerboardFunction((0, 0), (1, 1), (2, 2), [1.0, 2.0, 3.0, 4.0])
+    x = jnp.array([[0.25, 0.25], [0.75, 0.25], [0.25, 0.75], [0.75, 0.75]])
+    np.testing.assert_allclose(cb(x), [1.0, 2.0, 3.0, 4.0])
+
+
+def test_checkerboard_decomposition_partition_of_unity():
+    dec = make_checkerboard_decomposition((0, 0), (1, 1), (2, 2))
+    assert dec.num_components == 4
+    mu = {"diffusion_factor": jnp.array([1.0, 1.0, 1.0, 1.0])}
+    from dune_hdd_tpu.functions import FrozenAffineFunction
+
+    frozen = FrozenAffineFunction(dec, mu)
+    x = jnp.array([[0.1, 0.9], [0.6, 0.2], [0.5, 0.5]])
+    np.testing.assert_allclose(frozen(x), 1.0)
+
+
+def test_indicator_and_flattop():
+    ind = IndicatorFunction([((0, 0), (0.5, 0.5), 2.0)])
+    np.testing.assert_allclose(ind(jnp.array([[0.25, 0.25], [0.75, 0.75]])), [2.0, 0.0])
+    ft = FlatTopFunction((0.2, 0.2), (0.8, 0.8), (0.1, 0.1), 3.0)
+    vals = ft(jnp.array([[0.5, 0.5], [0.05, 0.5], [0.15, 0.5]]))
+    assert float(vals[0]) == pytest.approx(3.0)
+    assert float(vals[1]) == pytest.approx(0.0)
+    assert 0.0 < float(vals[2]) < 3.0  # inside the ramp
+
+
+def test_spe10_function_synthetic():
+    f = Spe10Model1Function()
+    assert f.synthetic
+    x = jnp.array([[2.5, 0.5], [0.01, 0.01]])
+    out = f(x)
+    assert out.shape == (2, 2, 2)
+    assert float(out[0, 0, 0]) >= 0.001
+    assert float(out[0, 0, 1]) == 0.0
+    lam = f.permeability(x)
+    assert np.all(np.asarray(lam) >= 0.001) and np.all(np.asarray(lam) <= 998.915)
+
+
+def test_esv2007_problem():
+    p = ESV2007Problem()
+    assert not p.parametric()
+    assert "ESV2007" in p.type()
+    r = p.report()
+    assert "diffusion_factor" in r
+
+
+def test_parametric_esv2007_problem():
+    p = ParametricESV2007Problem()
+    assert p.parametric()
+    assert p.parameter_type["mu"] == 1
+    # with_mu(1) => unit diffusion
+    frozen = p.with_mu({"mu": 1.0})
+    assert not frozen.parametric()
+    lam = frozen.diffusion_factor.affine_part
+    x = jnp.array([[0.37, -0.11], [0.0, 0.0]])
+    np.testing.assert_allclose(np.asarray(lam(x)), 1.0, atol=1e-12)
+
+
+def test_thermalblock_problems():
+    p = ThermalblockProblem((2, 2))
+    assert p.parameter_type["diffusion_factor"] == 4
+    lp = LocalThermalblockProblem()
+    assert lp.parameter_type["diffusion_factor"] == 3
+    mu = {"diffusion_factor": jnp.array([1.0, 2.0, 3.0])}
+    frozen = lp.with_mu(mu)
+    lam = frozen.diffusion_factor.affine_part
+    # right block has value mu[1]=2
+    assert float(lam(jnp.array([[0.75, 0.5]]))[0]) == pytest.approx(2.0)
+    # small block: mu[2]=3
+    assert float(lam(jnp.array([[0.25, 0.25]]))[0]) == pytest.approx(3.0)
+
+
+def test_spe10_problem_parametric():
+    p = Spe10Model1Problem(
+        channel_values=[((1.0, 0.4), (2.0, 0.5), 1.0)],
+        parametric_channel=True,
+    )
+    assert p.parametric()
+    frozen = p.with_mu({"mu": 1.0})
+    lam = frozen.diffusion_factor.affine_part
+    # at mu=1: diffusion = 1 + channel - channel = 1 inside the channel
+    np.testing.assert_allclose(float(lam(jnp.array([[1.5, 0.45]]))[0]), 1.0, atol=1e-12)
+
+
+def test_zero_boundary():
+    p = ZeroBoundaryProblem(MixedBoundariesProblem())
+    x = jnp.array([[0.5, 0.5]])
+    assert float(p.dirichlet.affine_part(x)[0]) == 0.0
+    assert float(p.neumann.affine_part(x)[0]) == 0.0
+    assert float(p.force.affine_part(x)[0]) == 1.0
+
+
+def test_problems_provider():
+    names = ProblemsProvider.available()
+    assert any("ESV2007" in n for n in names)
+    p = ProblemsProvider.create("ESV2007")
+    assert isinstance(p, ESV2007Problem)
+    tb = ProblemsProvider.create("thermalblock", {"diffusion_factor": {"num_elements": [2, 2]}})
+    assert tb.parameter_type["diffusion_factor"] == 4
