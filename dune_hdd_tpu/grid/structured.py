@@ -47,7 +47,7 @@ class RefinementInfo:
     child_index: np.ndarray
 
 
-@dataclass(frozen=True)
+@dataclass(frozen=True, eq=False)  # identity equality/hash: grids are built once
 class Grid:
     vertices: np.ndarray  # [NV, 2] float64
     cells: np.ndarray  # [NC, 3|4] int32

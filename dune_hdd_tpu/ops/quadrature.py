@@ -1,0 +1,93 @@
+"""Quadrature rules (host-side numpy; consumed as static jnp constants).
+
+Replaces dune-geometry's QuadratureRules as used implicitly by all GDT local
+operators (survey 3.1 hot loops).  Triangle rules: Dunavant up to degree 5,
+Duffy-collapsed tensor Gauss for higher degrees; quads/edges: tensor /1D
+Gauss-Legendre of arbitrary degree.
+
+Reference-element conventions:
+* triangle: {(x,y) : x,y >= 0, x+y <= 1}, weights sum to 1/2
+* quad: [0,1]^2, weights sum to 1
+* edge: [0,1], weights sum to 1
+"""
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Tuple
+
+import numpy as np
+
+__all__ = ["tri_rule", "quad_rule", "edge_rule"]
+
+
+@lru_cache(maxsize=None)
+def edge_rule(order: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Gauss-Legendre on [0,1], exact for polynomials of degree <= order."""
+    n = max(1, (int(order) + 2) // 2)
+    x, w = np.polynomial.legendre.leggauss(n)
+    return 0.5 * (x + 1.0), 0.5 * w
+
+
+@lru_cache(maxsize=None)
+def quad_rule(order: int) -> Tuple[np.ndarray, np.ndarray]:
+    x, w = edge_rule(order)
+    X, Y = np.meshgrid(x, x, indexing="ij")
+    W = np.outer(w, w)
+    pts = np.stack([X.ravel(), Y.ravel()], axis=-1)
+    return pts, W.ravel()
+
+
+_DUNAVANT = {
+    1: ([(1 / 3, 1 / 3, 1.0)]),
+    2: ([(1 / 6, 1 / 6, 1 / 3), (2 / 3, 1 / 6, 1 / 3), (1 / 6, 2 / 3, 1 / 3)]),
+    3: (
+        [
+            (1 / 3, 1 / 3, -27 / 48),
+            (0.6, 0.2, 25 / 48),
+            (0.2, 0.6, 25 / 48),
+            (0.2, 0.2, 25 / 48),
+        ]
+    ),
+    4: None,  # filled below
+    5: None,
+}
+
+
+def _dunavant4():
+    a, wa = 0.445948490915965, 0.223381589678011
+    b, wb = 0.091576213509771, 0.109951743655322
+    pts = []
+    for c, w in ((a, wa), (b, wb)):
+        pts += [(c, c, w), (1 - 2 * c, c, w), (c, 1 - 2 * c, w)]
+    return pts
+
+
+def _dunavant5():
+    a, wa = 0.470142064105115, 0.132394152788506
+    b, wb = 0.101286507323456, 0.125939180544827
+    pts = [(1 / 3, 1 / 3, 0.225)]
+    for c, w in ((a, wa), (b, wb)):
+        pts += [(c, c, w), (1 - 2 * c, c, w), (c, 1 - 2 * c, w)]
+    return pts
+
+
+_DUNAVANT[4] = _dunavant4()
+_DUNAVANT[5] = _dunavant5()
+
+
+@lru_cache(maxsize=None)
+def tri_rule(order: int) -> Tuple[np.ndarray, np.ndarray]:
+    order = max(1, int(order))
+    if order in _DUNAVANT:
+        data = np.asarray(_DUNAVANT[order], dtype=float)
+        return data[:, :2].copy(), 0.5 * data[:, 2].copy()
+    # Duffy transform: (u, v) in [0,1]^2 -> (u, v(1-u)), weight *= (1-u);
+    # n-point tensor Gauss is exact for total degree <= 2n-2 on the triangle.
+    n = (order + 4) // 2
+    x, w = np.polynomial.legendre.leggauss(n)
+    x = 0.5 * (x + 1.0)
+    w = 0.5 * w
+    U, V = np.meshgrid(x, x, indexing="ij")
+    W = np.outer(w, w) * (1.0 - U)
+    pts = np.stack([U.ravel(), (V * (1.0 - U)).ravel()], axis=-1)
+    return pts, W.ravel()

@@ -1,0 +1,151 @@
+"""Finite element spaces as flat DoF-index arrays + batched shape evaluation.
+
+Replaces GDT::Spaces::ContinuousLagrange / DiscontinuousLagrange providers
+(reference: discretizations/cg.hh:48-56, swipdg.hh space creation) with
+static-shape index arrays: ``cell_dofs[NC, nd]`` is the whole DoF map.  Shape
+functions are evaluated *in physical coordinates* (barycentric for P1
+triangles, tensor-bilinear for axis-aligned Q1 quads), so face kernels can
+evaluate both neighbour bases at shared quadrature points without
+reference-element gymnastics — everything vmaps over cell/face batches.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import cached_property
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..grid.structured import Grid, QUAD, TRIANGLE
+
+__all__ = ["Space", "cg_space", "dg_space"]
+
+
+@dataclass(frozen=True, eq=False)  # identity hash (holds numpy-array members)
+class Space:
+    grid: Grid
+    continuous: bool  # CG (vertex dofs) vs DG (per-cell dofs)
+    order: int = 1
+
+    def __post_init__(self):
+        if self.order != 1:
+            raise NotImplementedError("only order 1 implemented so far")
+
+    @property
+    def shape_count(self) -> int:
+        """Local shape functions per cell."""
+        return self.grid.vertices_per_cell
+
+    @property
+    def num_dofs(self) -> int:
+        if self.continuous:
+            return self.grid.num_vertices
+        return self.grid.num_cells * self.shape_count
+
+    @cached_property
+    def cell_dofs(self) -> np.ndarray:
+        """[NC, nd] global DoF indices."""
+        if self.continuous:
+            return self.grid.cells.astype(np.int32)
+        nd = self.shape_count
+        return (
+            np.arange(self.grid.num_cells, dtype=np.int32)[:, None] * nd
+            + np.arange(nd, dtype=np.int32)[None, :]
+        )
+
+    # -- batched shape evaluation (jnp) ------------------------------------
+    # cellverts: [..., nvc, 2]; x: [..., k, 2] physical points inside the cell
+    def shape_values(self, cellverts: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+        """[..., k, nd] values of the local basis at physical points."""
+        if self.grid.cell_type == TRIANGLE:
+            return _tri_shape_values(cellverts, x)
+        return _quad_shape_values(cellverts, x)
+
+    def shape_gradients(self, cellverts: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+        """[..., k, nd, 2] physical gradients at the points."""
+        if self.grid.cell_type == TRIANGLE:
+            g = _tri_shape_grads(cellverts)  # [..., 3, 2], constant in x
+            return jnp.broadcast_to(
+                g[..., None, :, :], x.shape[:-1] + g.shape[-2:]
+            )
+        return _quad_shape_grads(cellverts, x)
+
+    def interpolate_vertex_function(self, values_at_vertices: jnp.ndarray) -> jnp.ndarray:
+        """Nodal interpolation: vertex values -> DoF vector."""
+        if self.continuous:
+            return values_at_vertices
+        return values_at_vertices[self.grid.cells].reshape(-1)
+
+    def __repr__(self):
+        kind = "CG" if self.continuous else "DG"
+        return f"Space({kind} P{self.order} {self.grid.cell_type}, ndofs={self.num_dofs})"
+
+
+def cg_space(grid: Grid, order: int = 1) -> Space:
+    return Space(grid, continuous=True, order=order)
+
+
+def dg_space(grid: Grid, order: int = 1) -> Space:
+    return Space(grid, continuous=False, order=order)
+
+
+# -- physical-coordinate shape functions -----------------------------------
+
+
+def _tri_shape_values(cellverts, x):
+    """Barycentric coordinates of x in the triangle == P1 shape values.
+
+    cellverts [..., 3, 2], x [..., k, 2] -> [..., k, 3].
+    """
+    v0 = cellverts[..., 0, :]
+    e1 = cellverts[..., 1, :] - v0
+    e2 = cellverts[..., 2, :] - v0
+    det = e1[..., 0] * e2[..., 1] - e1[..., 1] * e2[..., 0]
+    r = x - v0[..., None, :]
+    lam1 = (r[..., 0] * e2[..., None, 1] - r[..., 1] * e2[..., None, 0]) / det[..., None]
+    lam2 = (e1[..., None, 0] * r[..., 1] - e1[..., None, 1] * r[..., 0]) / det[..., None]
+    lam0 = 1.0 - lam1 - lam2
+    return jnp.stack([lam0, lam1, lam2], axis=-1)
+
+
+def _tri_shape_grads(cellverts):
+    """[..., 3, 2] constant physical gradients of the barycentric basis."""
+    v0 = cellverts[..., 0, :]
+    e1 = cellverts[..., 1, :] - v0
+    e2 = cellverts[..., 2, :] - v0
+    det = (e1[..., 0] * e2[..., 1] - e1[..., 1] * e2[..., 0])[..., None]
+    g1 = jnp.stack([e2[..., 1], -e2[..., 0]], axis=-1) / det
+    g2 = jnp.stack([-e1[..., 1], e1[..., 0]], axis=-1) / det
+    g0 = -g1 - g2
+    return jnp.stack([g0, g1, g2], axis=-2)
+
+
+def _quad_rect_params(cellverts):
+    """Lower corner and extents of an axis-aligned rectangle cell
+    (v0=lower-left, v2=upper-right by the CCW convention)."""
+    lo = cellverts[..., 0, :]
+    hi = cellverts[..., 2, :]
+    return lo, hi - lo
+
+
+def _quad_shape_values(cellverts, x):
+    """Bilinear Q1 basis on axis-aligned rectangles, vertex order
+    (v00, v10, v11, v01).  [..., k, 4]."""
+    lo, ext = _quad_rect_params(cellverts)
+    t = (x - lo[..., None, :]) / ext[..., None, :]
+    xi, eta = t[..., 0], t[..., 1]
+    return jnp.stack(
+        [(1 - xi) * (1 - eta), xi * (1 - eta), xi * eta, (1 - xi) * eta], axis=-1
+    )
+
+
+def _quad_shape_grads(cellverts, x):
+    lo, ext = _quad_rect_params(cellverts)
+    t = (x - lo[..., None, :]) / ext[..., None, :]
+    xi, eta = t[..., 0], t[..., 1]
+    dxi = jnp.stack([-(1 - eta), (1 - eta), eta, -eta], axis=-1)
+    deta = jnp.stack([-(1 - xi), -xi, xi, (1 - xi)], axis=-1)
+    gx = dxi / ext[..., None, 0:1]
+    gy = deta / ext[..., None, 1:2]
+    return jnp.stack([gx, gy], axis=-1)
