@@ -1,0 +1,355 @@
+"""BlockSWIPDG: domain-decomposed SWIPDG with the LRBMS surface.
+
+Re-design of the reference BlockSWIPDG (discretizations/block-swipdg.hh:
+177-1401).  The mathematical content is identical — the global system of the
+block discretization *equals* the single-domain SWIPDG system for every
+partitioning (that is why the reference's L2/H1/energy expectation tables
+coincide across partitionings, BASELINE.md) — so the global operator/rhs are
+assembled by the batched SWIPDG path on the full grid, while the LRBMS
+decomposition surface exposes:
+
+* num_subdomains / neighbouring_subdomains       (block-swipdg.hh:553-558)
+* get_local_operator / get_local_rhs             (:612-690; local SWIPDG with
+  all-Neumann artificial boundary + true-boundary penalty contributions,
+  :1136-1264)
+* get_local_product(ss, id)                      (:612-623)
+* get_coupling_operator(ss, nn)                  (:639-670; the 2x2 block of
+  coupling-face contributions oriented ss->nn)
+* localize_vector / globalize_vectors            (:567-610)
+* get_oversampled_discretization(ss, type)       (:783-817)
+* solve_for_local_correction                     (:692-759; disabled by a
+  guard throw in the reference — same here)
+
+Per-subdomain payloads are built lazily and cached; DG DoFs partition by
+cells, so localisation is pure index arithmetic.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..affine import AffineDecomposition
+from ..functions.base import freeze_function
+from ..grid.boundaryinfo import BoundaryInfo, make_boundary_info
+from ..grid.multiscale import MultiscaleGrid, Subgrid, extract_subgrid
+from ..grid.structured import Grid
+from ..la.sparse import SparseMatrix, build_pattern
+from ..ops.assembly import diffusion_pairs
+from ..ops.spaces import dg_space
+from ..ops.swipdg import swipdg_face_blocks
+from ..problems.interfaces import Problem
+from ..problems.zero_boundary import ZeroBoundaryProblem
+from .base import StationaryDiscretization
+from .cg import _parts
+from .swipdg import SWIPDGDiscretization
+
+__all__ = ["BlockSWIPDGDiscretization", "CouplingOperator"]
+
+
+@dataclass(frozen=True, eq=False)
+class CouplingOperator:
+    """The four coupling blocks of a neighbour pair (in = ss, out = nn):
+    CouplingAssembler semantics (block-swipdg.hh:849-1034)."""
+
+    in_in: SparseMatrix
+    in_out: SparseMatrix
+    out_in: SparseMatrix
+    out_out: SparseMatrix
+
+
+class BlockSWIPDGDiscretization(StationaryDiscretization):
+    static_id = "hdd.linearelliptic.discretizations.block-swipdg"
+
+    def __init__(
+        self,
+        grid,
+        boundary_info,
+        problem: Problem,
+        num_partitions: Sequence[int] = (2, 2),
+        oversampling_layers: int = 0,
+        order: int = 1,
+        only_these_products: Optional[Sequence[str]] = ("l2", "h1_semi", "energy"),
+        penalty_mu=None,
+    ):
+        if isinstance(grid, MultiscaleGrid):
+            self.ms_grid = grid
+            grid = grid.grid
+        else:
+            self.ms_grid = MultiscaleGrid(grid, num_partitions, oversampling_layers)
+        if not isinstance(boundary_info, BoundaryInfo):
+            boundary_info = make_boundary_info(grid, boundary_info)
+        self._global = SWIPDGDiscretization(
+            grid, boundary_info, problem, order=order,
+            only_these_products=only_these_products, penalty_mu=penalty_mu,
+        )
+        g = self._global
+        super().__init__(
+            space=g.space,
+            boundary_info=g.boundary_info,
+            problem=g.problem,
+            operator=g._operator,
+            rhs=g._rhs,
+            products=g._products,
+            vectors=g._vectors,
+            purely_neumann=g.purely_neumann,
+        )
+        self._order = order
+        self._penalty_mu = penalty_mu
+        self._subgrids: Dict[int, Subgrid] = {}
+        self._local_discs: Dict[int, SWIPDGDiscretization] = {}
+        self._local_ops: Dict[int, AffineDecomposition] = {}
+        self._local_rhs: Dict[int, AffineDecomposition] = {}
+        self._couplings: Dict[Tuple[int, int], AffineDecomposition] = {}
+        self._oversampled: Dict[Tuple[int, str], SWIPDGDiscretization] = {}
+
+    # ------------------------------------------------------------------
+    # LRBMS surface
+    # ------------------------------------------------------------------
+    def num_subdomains(self) -> int:
+        return self.ms_grid.size()
+
+    def neighbouring_subdomains(self, ss: int) -> np.ndarray:
+        return self.ms_grid.neighbors_of(ss)
+
+    def subgrid(self, ss: int) -> Subgrid:
+        if ss not in self._subgrids:
+            self._subgrids[ss] = extract_subgrid(self.ms_grid.grid, self.ms_grid.cells(ss))
+        return self._subgrids[ss]
+
+    def _local_dof_map(self, ss: int) -> np.ndarray:
+        """[n_local_dofs] global dof ids in local ordering."""
+        sub = self.subgrid(ss)
+        nd = self.space.shape_count
+        return (sub.cell_map[:, None] * nd + np.arange(nd)[None, :]).reshape(-1)
+
+    def localize_vector(self, global_vector: jnp.ndarray, ss: int) -> jnp.ndarray:
+        """block-swipdg.hh:567-581."""
+        return global_vector[jnp.asarray(self._local_dof_map(ss))]
+
+    def globalize_vectors(self, local_vectors: Sequence[jnp.ndarray]) -> jnp.ndarray:
+        """block-swipdg.hh:583-610."""
+        out = jnp.zeros(self.space.num_dofs)
+        for ss, lv in enumerate(local_vectors):
+            out = out.at[jnp.asarray(self._local_dof_map(ss))].set(lv)
+        return out
+
+    def local_discretization(self, ss: int) -> SWIPDGDiscretization:
+        """Per-subdomain SWIPDG with all-Neumann artificial boundary and a
+        ZeroBoundary problem (LocalDiscretizationsContainer,
+        block-swipdg.hh:106-129)."""
+        if ss not in self._local_discs:
+            sub = self.subgrid(ss)
+            self._local_discs[ss] = SWIPDGDiscretization(
+                sub.grid,
+                {"type": "stuff.grid.boundaryinfo.allneumann"},
+                ZeroBoundaryProblem(self.problem),
+                order=self._order,
+                only_these_products=("l2", "h1_semi", "energy"),
+                penalty_mu=self._penalty_mu,
+            )
+        return self._local_discs[ss]
+
+    def get_local_product(self, ss: int, id_: str) -> AffineDecomposition:
+        """block-swipdg.hh:612-623."""
+        return self.local_discretization(ss).get_product(id_)
+
+    def _boundary_face_map(self, ss: int) -> Tuple[np.ndarray, np.ndarray]:
+        """(local dirichlet faces, local neumann faces) of the subgrid that
+        correspond to *global* boundary faces of the right type."""
+        sub = self.subgrid(ss)
+        grid = self.ms_grid.grid
+        # map local faces to global: match by sorted vertex pair
+        lf = sub.vertex_map[sub.grid.faces]  # local faces in global vertex ids
+        key_local = np.sort(lf, axis=1)
+        key_global = np.sort(grid.faces, axis=1)
+        gdict = {tuple(k): i for i, k in enumerate(key_global.tolist())}
+        local_to_global = np.asarray([gdict[tuple(k)] for k in key_local.tolist()])
+        dmask = self.boundary_info.dirichlet_faces[local_to_global]
+        nmask = self.boundary_info.neumann_faces[local_to_global]
+        return np.nonzero(dmask)[0], np.nonzero(nmask)[0]
+
+    def get_local_operator(self, ss: int) -> AffineDecomposition:
+        """Local SWIPDG operator + true-boundary (Dirichlet penalty)
+        contributions (block-swipdg.hh:612-637, boundary assembly
+        :1136-1264)."""
+        if ss not in self._local_ops:
+            dfaces, nfaces = self._boundary_face_map(ss)
+            if len(dfaces):
+                # re-assemble on the subgrid with the true boundary info: this
+                # yields volume + inner-face + Dirichlet-penalty terms, i.e.
+                # exactly "local SWIPDG copy + boundary contributions"
+                sub_disc = SWIPDGDiscretization(
+                    self.subgrid(ss).grid,
+                    _FaceListBoundaryInfo(self.subgrid(ss).grid, dfaces, nfaces),
+                    self.problem,
+                    order=self._order,
+                    only_these_products=(),
+                    penalty_mu=self._penalty_mu,
+                )
+                self._local_ops[ss] = sub_disc.get_operator()
+            else:
+                self._local_ops[ss] = self.local_discretization(ss).get_operator()
+        return self._local_ops[ss]
+
+    def get_local_rhs(self, ss: int) -> AffineDecomposition:
+        """Local force/Neumann/Dirichlet-penalty functionals."""
+        if ss not in self._local_rhs:
+            dfaces, nfaces = self._boundary_face_map(ss)
+            sub_disc = SWIPDGDiscretization(
+                self.subgrid(ss).grid,
+                _FaceListBoundaryInfo(self.subgrid(ss).grid, dfaces, nfaces),
+                self.problem,
+                order=self._order,
+                only_these_products=(),
+                penalty_mu=self._penalty_mu,
+            )
+            self._local_rhs[ss] = sub_disc.get_rhs()
+        return self._local_rhs[ss]
+
+    get_local_functional = get_local_rhs
+
+    def get_coupling_operator(self, ss: int, nn: int) -> AffineDecomposition:
+        """AffineDecomposition of CouplingOperator blocks for the pair
+        (ss, nn) (block-swipdg.hh:639-670)."""
+        key = (ss, nn)
+        if key in self._couplings:
+            return self._couplings[key]
+        if nn not in set(self.ms_grid.neighbors_of(ss).tolist()):
+            raise ValueError(f"subdomains {ss} and {nn} are not neighbours")
+        grid = self.ms_grid.grid
+        space = self.space
+        nd = space.shape_count
+        faces = self.ms_grid.coupling_faces(ss, nn)
+        inside_sub = self.ms_grid.subdomain_of[grid.face_cells[faces, 0]]
+        n_ss = len(self.ms_grid.cells(ss)) * nd
+        n_nn = len(self.ms_grid.cells(nn)) * nd
+        local_cell_ss = _inverse_map(self.ms_grid.cells(ss), grid.num_cells)
+        local_cell_nn = _inverse_map(self.ms_grid.cells(nn), grid.num_cells)
+
+        # weighting diffusion from the global discretization
+        wlam, wkap = self._global._weight_diffusion
+        pairs = diffusion_pairs(self.problem)
+        out = AffineDecomposition()
+        empty = np.zeros(0, dtype=np.int64)
+        for (lam_fn, kap_fn), coef in _parts(pairs):
+            blocks_list = []
+            orientations = []
+            for subset, flipped in ((faces[inside_sub == ss], False),
+                                    (faces[inside_sub == nn], True)):
+                if len(subset) == 0:
+                    continue
+                ib, _bb = swipdg_face_blocks(
+                    space, lam_fn, kap_fn, subset, empty,
+                    weight_lam_fn=wlam, weight_kap_fn=wkap,
+                )
+                blocks_list.append((subset, np.asarray(ib), flipped))
+            mats = _assemble_coupling(
+                blocks_list, grid, space, local_cell_ss, local_cell_nn, n_ss, n_nn
+            )
+            if coef is None:
+                out.register_affine_part(mats)
+            else:
+                out.register_component(mats, coef)
+        self._couplings[key] = out
+        return out
+
+    def get_oversampled_discretization(self, ss: int, boundary_type: str) -> SWIPDGDiscretization:
+        """block-swipdg.hh:783-817: local discretization on the oversampled
+        patch with artificial 'dirichlet' or 'neumann' boundary."""
+        key = (ss, boundary_type)
+        if key not in self._oversampled:
+            if self.ms_grid.oversampling_layers <= 0:
+                raise ValueError("this discretization was created without oversampling")
+            patch = extract_subgrid(
+                self.ms_grid.grid, self.ms_grid.oversampled_cells(ss)
+            )
+            if boundary_type == "dirichlet":
+                bi = {"type": "stuff.grid.boundaryinfo.alldirichlet"}
+            elif boundary_type == "neumann":
+                bi = {"type": "stuff.grid.boundaryinfo.allneumann"}
+            else:
+                raise ValueError(f"unknown boundary type {boundary_type!r}")
+            disc = SWIPDGDiscretization(
+                patch.grid, bi, ZeroBoundaryProblem(self.problem),
+                order=self._order, only_these_products=("l2", "h1_semi"),
+                penalty_mu=self._penalty_mu,
+            )
+            disc.oversampled_patch = patch
+            self._oversampled[key] = disc
+        return self._oversampled[key]
+
+    def solve_for_local_correction(self, ss: int, local_vectors, mu=None):
+        """Online enrichment — disabled in the reference by a guard throw
+        (block-swipdg.hh:696); same here until validated."""
+        raise NotImplementedError(
+            "solve_for_local_correction is disabled (reference guard at "
+            "block-swipdg.hh:696)"
+        )
+
+
+class _FaceListBoundaryInfo(BoundaryInfo):
+    def __init__(self, grid: Grid, dirichlet_faces: np.ndarray, neumann_faces: np.ndarray):
+        d = np.zeros(grid.num_faces, dtype=bool)
+        n = np.zeros(grid.num_faces, dtype=bool)
+        d[np.asarray(dirichlet_faces, dtype=np.int64)] = True
+        n[np.asarray(neumann_faces, dtype=np.int64)] = True
+        super().__init__(grid, d, n)
+
+
+def _inverse_map(cell_ids: np.ndarray, num_cells: int) -> np.ndarray:
+    inv = np.full(num_cells, -1, dtype=np.int64)
+    inv[cell_ids] = np.arange(len(cell_ids))
+    return inv
+
+
+def _assemble_coupling(blocks_list, grid, space, local_ss, local_nn, n_ss, n_nn) -> CouplingOperator:
+    """Assemble per-face 2x2 blocks into the four rectangular coupling
+    matrices; ``flipped`` subsets have inside=nn so their (s,t) indices swap."""
+    nd = space.shape_count
+    entries = {k: ([], [], []) for k in ("in_in", "in_out", "out_in", "out_out")}
+    for subset, blocks, flipped in blocks_list:
+        cin = grid.face_cells[subset, 0]
+        cout = grid.face_cells[subset, 1]
+        if not flipped:
+            cells_ss, cells_nn = cin, cout
+            b_ii, b_io = blocks[:, 0, 0], blocks[:, 0, 1]
+            b_oi, b_oo = blocks[:, 1, 0], blocks[:, 1, 1]
+        else:
+            cells_ss, cells_nn = cout, cin
+            b_ii, b_io = blocks[:, 1, 1], blocks[:, 1, 0]
+            b_oi, b_oo = blocks[:, 0, 1], blocks[:, 0, 0]
+        dofs_ss = local_ss[cells_ss][:, None] * nd + np.arange(nd)[None, :]
+        dofs_nn = local_nn[cells_nn][:, None] * nd + np.arange(nd)[None, :]
+        for name, rows_d, cols_d, vals in (
+            ("in_in", dofs_ss, dofs_ss, b_ii),
+            ("in_out", dofs_ss, dofs_nn, b_io),
+            ("out_in", dofs_nn, dofs_ss, b_oi),
+            ("out_out", dofs_nn, dofs_nn, b_oo),
+        ):
+            F = len(subset)
+            shape = (F, nd, nd)
+            r = np.broadcast_to(rows_d[:, :, None], shape).ravel()
+            c = np.broadcast_to(cols_d[:, None, :], shape).ravel()
+            entries[name][0].append(r)
+            entries[name][1].append(c)
+            entries[name][2].append(np.asarray(vals).ravel())
+    shapes = {
+        "in_in": (n_ss, n_ss), "in_out": (n_ss, n_nn),
+        "out_in": (n_nn, n_ss), "out_out": (n_nn, n_nn),
+    }
+    mats = {}
+    for name, (rs, cs, vs) in entries.items():
+        if rs:
+            rows = np.concatenate(rs)
+            cols = np.concatenate(cs)
+            vals = jnp.asarray(np.concatenate(vs))
+        else:
+            rows = np.zeros(0, dtype=np.int64)
+            cols = np.zeros(0, dtype=np.int64)
+            vals = jnp.zeros(0)
+        pat = build_pattern(rows, cols, shapes[name])
+        mats[name] = SparseMatrix(pat, pat.assemble(vals))
+    return CouplingOperator(**mats)

@@ -1,0 +1,231 @@
+"""SWIPDG discretization (reference: discretizations/swipdg.hh:109-520).
+
+Discontinuous Lagrange space; the operator is, per affine diffusion
+component, volume elliptic blocks + SWIPDG interior/Dirichlet face blocks;
+the rhs carries force, Neumann, and Dirichlet-penalty functionals including
+the (diffusion_p x dirichlet_q) cross components with product coefficients
+(swipdg.hh:272-332).  Products (gated by only_these_products like
+swipdg.hh:358-508): l2, h1_semi, elliptic, boundary_l2, penalty, energy
+(= copy of the system matrix family).
+
+For parametric problems the weighting/penalty diffusion is frozen at
+``penalty_mu`` (default: all-ones parameter) so the affine decomposition is
+exact — see ops/swipdg.py docstring for the relation to the reference's
+per-component self-weighted operators.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..affine import AffineDecomposition
+from ..functions.base import ConstantFunction, constant_matrix, freeze_function
+from ..grid.boundaryinfo import BoundaryInfo, make_boundary_info
+from ..grid.structured import Grid
+from ..la.sparse import SparseMatrix
+from ..ops.assembly import (
+    assemble_cell_matrix,
+    boundary_face_functional,
+    boundary_face_l2_matrices,
+    diffusion_pairs,
+    elliptic_cell_matrices,
+    force_cell_vectors,
+    l2_cell_matrices,
+    scatter_cell_vectors,
+    volume_pattern,
+)
+from ..ops.spaces import dg_space
+from ..ops.swipdg import (
+    assemble_swipdg_matrix,
+    boundary_sigma,
+    default_beta,
+    inner_sigma,
+    swipdg_dirichlet_rhs,
+    swipdg_face_blocks,
+    swipdg_pattern,
+)
+from ..parameters import ProductFunctional
+from ..problems.interfaces import Problem
+from .base import StationaryDiscretization
+from .cg import _parts
+
+__all__ = ["SWIPDGDiscretization"]
+
+_ALL_PRODUCTS = ("l2", "h1_semi", "elliptic", "boundary_l2", "penalty", "energy")
+
+
+class SWIPDGDiscretization(StationaryDiscretization):
+    static_id = "hdd.linearelliptic.discretizations.swipdg"
+
+    def __init__(
+        self,
+        grid: Grid,
+        boundary_info,
+        problem: Problem,
+        order: int = 1,
+        only_these_products: Optional[Sequence[str]] = ("l2", "h1_semi", "energy"),
+        penalty_mu=None,
+    ):
+        if not isinstance(boundary_info, BoundaryInfo):
+            boundary_info = make_boundary_info(grid, boundary_info)
+        space = dg_space(grid, order)
+        products_wanted = tuple(only_these_products) if only_these_products is not None else _ALL_PRODUCTS
+        self.beta = default_beta(2)
+        self.sigma_inner = inner_sigma(order)
+        self.sigma_boundary = boundary_sigma(order)
+
+        interior = np.nonzero(grid.interior_faces)[0]
+        dirichlet = np.nonzero(boundary_info.dirichlet_faces)[0]
+        neumann = np.nonzero(boundary_info.neumann_faces)[0]
+        all_boundary = np.nonzero(grid.boundary_faces)[0]
+        self._interior_faces = interior
+        self._dirichlet_faces = dirichlet
+
+        # weighting diffusion (fixed; = the diffusion itself if nonparametric)
+        if problem.parametric():
+            if penalty_mu is None:
+                penalty_mu = {
+                    name: jnp.ones(size) for name, size in problem.parameter_type.items()
+                }
+            wproblem = problem.with_mu(penalty_mu)
+        else:
+            wproblem = problem
+        wlam = freeze_function(wproblem.diffusion_factor)
+        wkap = freeze_function(wproblem.diffusion_tensor)
+        self._weight_diffusion = (wlam, wkap)
+
+        pattern = swipdg_pattern(space, interior, dirichlet)
+
+        # -- operator: per diffusion pair, volume + face blocks ------------
+        operator = AffineDecomposition()
+        pairs = diffusion_pairs(problem)
+        for (lam_fn, kap_fn), coef in _parts(pairs):
+            vol = elliptic_cell_matrices(space, lam_fn, kap_fn)
+            ib, bb = swipdg_face_blocks(
+                space, lam_fn, kap_fn, interior, dirichlet,
+                weight_lam_fn=wlam, weight_kap_fn=wkap,
+                sigma_i=self.sigma_inner, sigma_b=self.sigma_boundary, beta=self.beta,
+            )
+            mat = assemble_swipdg_matrix(space, vol, ib, bb, pattern)
+            if coef is None:
+                operator.register_affine_part(mat)
+            else:
+                operator.register_component(mat, coef)
+        if operator.affine_part is None:
+            operator.register_affine_part(SparseMatrix(pattern, jnp.zeros(pattern.nnz)))
+
+        # -- rhs ------------------------------------------------------------
+        rhs = AffineDecomposition()
+
+        def add_rhs(vec, coef):
+            if coef is None:
+                if rhs.affine_part is None:
+                    rhs.register_affine_part(vec)
+                else:
+                    rhs.affine_part = rhs.affine_part + vec
+            else:
+                rhs.register_component(vec, coef)
+
+        for f_fn, coef in _parts(problem.force):
+            local = force_cell_vectors(space, f_fn)
+            add_rhs(scatter_cell_vectors(local, space.cell_dofs, space.num_dofs), coef)
+        if len(neumann):
+            for g_fn, coef in _parts(problem.neumann):
+                add_rhs(boundary_face_functional(space, g_fn, neumann), coef)
+        if len(dirichlet):
+            for g_fn, gcoef in _parts(problem.dirichlet):
+                # penalty part: weighting diffusion only -> coefficient theta_q
+                pen_vec = swipdg_dirichlet_rhs(
+                    space, g_fn, dirichlet, weight_lam_fn=wlam, weight_kap_fn=wkap,
+                    sigma_b=self.sigma_boundary, beta=self.beta, part="penalty",
+                )
+                add_rhs(pen_vec, gcoef)
+                # flux part: linear in each diffusion component -> theta_p * theta_q
+                for (lam_fn, kap_fn), mcoef in _parts(pairs):
+                    flux_vec = swipdg_dirichlet_rhs(
+                        space, g_fn, dirichlet, lam_fn=lam_fn, kap_fn=kap_fn,
+                        weight_lam_fn=wlam, weight_kap_fn=wkap,
+                        sigma_b=self.sigma_boundary, beta=self.beta, part="flux",
+                    )
+                    if mcoef is None and gcoef is None:
+                        add_rhs(flux_vec, None)
+                    elif mcoef is None:
+                        add_rhs(flux_vec, gcoef)
+                    elif gcoef is None:
+                        add_rhs(flux_vec, mcoef)
+                    else:
+                        add_rhs(flux_vec, ProductFunctional(mcoef, gcoef))
+        if rhs.affine_part is None:
+            rhs.register_affine_part(jnp.zeros(space.num_dofs))
+
+        # -- products --------------------------------------------------------
+        vol_pat = volume_pattern(space)
+        products: Dict[str, AffineDecomposition] = {}
+        if "l2" in products_wanted:
+            products["l2"] = AffineDecomposition(
+                affine_part=assemble_cell_matrix(space, l2_cell_matrices(space), vol_pat)
+            )
+        if "h1_semi" in products_wanted:
+            products["h1_semi"] = AffineDecomposition(
+                affine_part=assemble_cell_matrix(
+                    space,
+                    elliptic_cell_matrices(space, ConstantFunction(1.0), constant_matrix(1.0)),
+                    vol_pat,
+                )
+            )
+        if "elliptic" in products_wanted:
+            elliptic = AffineDecomposition()
+            for (lam_fn, kap_fn), coef in _parts(pairs):
+                m = assemble_cell_matrix(
+                    space, elliptic_cell_matrices(space, lam_fn, kap_fn), vol_pat
+                )
+                if coef is None:
+                    elliptic.register_affine_part(m)
+                else:
+                    elliptic.register_component(m, coef)
+            products["elliptic"] = elliptic
+        if "boundary_l2" in products_wanted:
+            bl2 = boundary_face_l2_matrices(space, all_boundary)
+            bpat = swipdg_pattern(space, np.zeros(0, dtype=int), all_boundary)
+            nd = space.shape_count
+            products["boundary_l2"] = AffineDecomposition(
+                affine_part=assemble_swipdg_matrix(
+                    space,
+                    jnp.zeros((grid.num_cells, nd, nd)),
+                    jnp.zeros((0, 2, 2, nd, nd)),
+                    bl2,
+                    bpat,
+                )
+            )
+        if "penalty" in products_wanted:
+            ibp, bbp = swipdg_face_blocks(
+                space, wlam, wkap, interior, dirichlet,
+                sigma_i=self.sigma_inner, sigma_b=self.sigma_boundary, beta=self.beta,
+                penalty_only=True,
+            )
+            nd = space.shape_count
+            products["penalty"] = AffineDecomposition(
+                affine_part=assemble_swipdg_matrix(
+                    space, jnp.zeros((grid.num_cells, nd, nd)), ibp, bbp, pattern
+                )
+            )
+        if "energy" in products_wanted:
+            products["energy"] = AffineDecomposition(
+                list(operator.components), list(operator.coefficients), operator.affine_part
+            )
+
+        super().__init__(
+            space=space,
+            boundary_info=boundary_info,
+            problem=problem,
+            operator=operator,
+            rhs=rhs,
+            products=products,
+            vectors={},
+            purely_neumann=len(dirichlet) == 0,
+        )
+
+    def init(self):
+        return self

@@ -1,10 +1,21 @@
-from .structured import Grid, RefinementInfo, rectangle_grid, refine, TRIANGLE, QUAD
+from .structured import (
+    Grid,
+    RefinementInfo,
+    alu_cube_grid,
+    bisect,
+    rectangle_grid,
+    refine,
+    TRIANGLE,
+    QUAD,
+)
 from .boundaryinfo import BoundaryInfo, make_boundary_info
 from .hierarchy import GridHierarchy, GridProviders, prolong_vertex_values
 
 __all__ = [
     "Grid",
     "RefinementInfo",
+    "alu_cube_grid",
+    "bisect",
     "rectangle_grid",
     "refine",
     "TRIANGLE",

@@ -17,18 +17,27 @@ __all__ = ["GridHierarchy", "prolong_vertex_values", "GridProviders"]
 
 
 class GridHierarchy:
-    """grids[0..L] produced by uniform refinement; infos[l] maps level l to
-    level l+1.  ``reference`` (the finest) plays the role of the reference
-    grid view in EOC studies (testcases/base.hh:92-103: one refinement beyond
-    the last study level)."""
+    """grids[0..L] produced by uniform refinement; ``reference`` (the finest)
+    plays the role of the reference grid view in EOC studies
+    (testcases/base.hh:92-103: one refinement beyond the last study level).
 
-    def __init__(self, initial: Grid, num_levels: int):
+    ``refine_fn``/``steps_per_level`` support bisection grids where one
+    "refinement" (DUNE refineStepsForHalf) is 2 newest-vertex bisections —
+    each level stores the list of per-step RefinementInfos.
+    """
+
+    def __init__(self, initial: Grid, num_levels: int, refine_fn=refine,
+                 steps_per_level: int = 1):
         self.grids: List[Grid] = [initial]
-        self.infos: List[RefinementInfo] = []
+        self.level_infos: List[List[RefinementInfo]] = []
         for _ in range(num_levels):
-            fine, info = refine(self.grids[-1])
-            self.grids.append(fine)
-            self.infos.append(info)
+            g = self.grids[-1]
+            steps = []
+            for _ in range(steps_per_level):
+                g, info = refine_fn(g)
+                steps.append(info)
+            self.grids.append(g)
+            self.level_infos.append(steps)
 
     def __len__(self):
         return len(self.grids)
@@ -41,8 +50,23 @@ class GridHierarchy:
         return self.grids[-1]
 
     def info(self, level: int) -> RefinementInfo:
-        """Refinement info from ``level`` to ``level+1``."""
-        return self.infos[level]
+        """Single-step refinement info from ``level`` to ``level+1``."""
+        steps = self.level_infos[level]
+        if len(steps) != 1:
+            raise ValueError("level has multiple refinement steps; use infos()")
+        return steps[0]
+
+    def infos(self, level: int) -> List[RefinementInfo]:
+        return self.level_infos[level]
+
+    def parent_cells(self, coarse_level: int, fine_level: int) -> np.ndarray:
+        """[NC_fine] map from fine cells to their coarse-level ancestors."""
+        fine = self.grids[fine_level]
+        parent = np.arange(fine.num_cells, dtype=np.int64)
+        for lvl in range(fine_level - 1, coarse_level - 1, -1):
+            for info in reversed(self.level_infos[lvl]):
+                parent = info.parent_cell[parent]
+        return parent
 
 
 def prolong_vertex_values(values: np.ndarray, info: RefinementInfo) -> np.ndarray:

@@ -1,0 +1,165 @@
+"""Partitioned ("multiscale") grid views for domain decomposition.
+
+Replaces dune-grid-multiscale's Providers::Cube as used by BlockSWIPDG
+(reference: discretizations/block-swipdg.hh — ms_grid()->couplingGridPart /
+boundaryGridPart / neighborsOf / subdomainOf; testcases/base.hh:136-219 for
+the per-level partitioned providers with ``num_partitions`` and
+``oversampling_layers``).
+
+A MultiscaleGrid is a plain cell->subdomain labelling over a flat Grid plus
+derived index sets: per-subdomain cells, inner faces, coupling faces per
+neighbour pair, boundary faces, and BFS-grown oversampled patches — all
+static numpy index arrays, ready to become shard boundaries.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import cached_property
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .structured import Grid
+
+__all__ = ["MultiscaleGrid", "extract_subgrid", "Subgrid"]
+
+
+class MultiscaleGrid:
+    def __init__(self, grid: Grid, num_partitions: Sequence[int],
+                 oversampling_layers: int = 0):
+        self.grid = grid
+        self.num_partitions = (int(num_partitions[0]), int(num_partitions[1]))
+        self.oversampling_layers = int(oversampling_layers)
+        lo, hi = grid.bounding_box
+        ns = np.asarray(self.num_partitions, dtype=float)
+        rel = (grid.cell_centroids - lo) / (hi - lo)
+        ij = np.minimum((rel * ns).astype(np.int64), np.asarray(self.num_partitions) - 1)
+        #: subdomain index per cell, x-fastest ordering like the cube provider
+        self.subdomain_of = (ij[:, 0] + self.num_partitions[0] * ij[:, 1]).astype(np.int32)
+
+    def size(self) -> int:
+        """Number of subdomains (block-swipdg.hh:553 num_subdomains)."""
+        return self.num_partitions[0] * self.num_partitions[1]
+
+    # -- cells ---------------------------------------------------------------
+    @cached_property
+    def _cells_per_subdomain(self) -> List[np.ndarray]:
+        order = np.argsort(self.subdomain_of, kind="stable")
+        counts = np.bincount(self.subdomain_of, minlength=self.size())
+        splits = np.cumsum(counts)[:-1]
+        return [c for c in np.split(order, splits)]
+
+    def cells(self, ss: int) -> np.ndarray:
+        return self._cells_per_subdomain[ss]
+
+    def subdomain_of_cell(self, cell: int) -> int:
+        return int(self.subdomain_of[cell])
+
+    # -- faces ---------------------------------------------------------------
+    @cached_property
+    def _face_subdomains(self) -> np.ndarray:
+        """[NF, 2] subdomain of (inside, outside); -1 for boundary outside."""
+        fc = self.grid.face_cells
+        inside = self.subdomain_of[fc[:, 0]]
+        outside = np.where(fc[:, 1] >= 0, self.subdomain_of[np.maximum(fc[:, 1], 0)], -1)
+        return np.stack([inside, outside], axis=1)
+
+    def inner_faces(self, ss: int) -> np.ndarray:
+        """Interior faces with both sides in subdomain ss."""
+        fs = self._face_subdomains
+        return np.nonzero((fs[:, 0] == ss) & (fs[:, 1] == ss))[0]
+
+    def coupling_faces(self, ss: int, nn: int) -> np.ndarray:
+        """Faces between subdomains ss and nn (symmetric set; the global face
+        normal may point either way)."""
+        fs = self._face_subdomains
+        mask = ((fs[:, 0] == ss) & (fs[:, 1] == nn)) | (
+            (fs[:, 0] == nn) & (fs[:, 1] == ss)
+        )
+        return np.nonzero(mask)[0]
+
+    def boundary_faces(self, ss: int) -> np.ndarray:
+        fs = self._face_subdomains
+        return np.nonzero((fs[:, 0] == ss) & (fs[:, 1] == -1))[0]
+
+    @cached_property
+    def _neighbors(self) -> List[np.ndarray]:
+        fs = self._face_subdomains
+        mask = (fs[:, 1] >= 0) & (fs[:, 0] != fs[:, 1])
+        pairs = fs[mask]
+        out: List[set] = [set() for _ in range(self.size())]
+        for a, b in np.unique(pairs, axis=0):
+            out[a].add(int(b))
+            out[b].add(int(a))
+        return [np.asarray(sorted(s), dtype=np.int64) for s in out]
+
+    def neighbors_of(self, ss: int) -> np.ndarray:
+        """block-swipdg.hh:558 neighbouring_subdomains."""
+        return self._neighbors[ss]
+
+    def boundary_subdomains(self) -> np.ndarray:
+        return np.unique(self._face_subdomains[self.grid.boundary_faces, 0])
+
+    # -- oversampling --------------------------------------------------------
+    @cached_property
+    def _cell_adjacency(self) -> Tuple[np.ndarray, np.ndarray]:
+        fc = self.grid.face_cells
+        inner = fc[:, 1] >= 0
+        a, b = fc[inner, 0], fc[inner, 1]
+        return np.concatenate([a, b]), np.concatenate([b, a])
+
+    def oversampled_cells(self, ss: int, layers: Optional[int] = None) -> np.ndarray:
+        """Cells of ss plus ``layers`` BFS layers of face-neighbours
+        (dune-grid-multiscale oversampling, testcases/base.hh:169-182)."""
+        layers = self.oversampling_layers if layers is None else int(layers)
+        mask = np.zeros(self.grid.num_cells, dtype=bool)
+        mask[self.cells(ss)] = True
+        src, dst = self._cell_adjacency
+        for _ in range(layers):
+            grow = np.zeros_like(mask)
+            np.logical_or.at(grow, dst, mask[src])
+            mask |= grow
+        return np.nonzero(mask)[0]
+
+    def subdomain_diameter(self, ss: int) -> float:
+        """Max vertex distance within the subdomain (the OS2014 residual
+        weighting, block-swipdg.hh finalize()); computed via the convex hull
+        trick: diameter of the vertex bounding set via pairwise max over the
+        cell vertices (exact for our axis-aligned partitions)."""
+        verts = self.grid.cell_vertices[self.cells(ss)].reshape(-1, 2)
+        # exact pairwise max on the hull candidates (min/max corners suffice
+        # for convex axis-aligned unions; do full pairwise on the boundary set)
+        uniq = np.unique(verts, axis=0)
+        d2 = np.sum((uniq[:, None, :] - uniq[None, :, :]) ** 2, axis=-1)
+        return float(np.sqrt(d2.max()))
+
+    def __repr__(self):
+        return (
+            f"MultiscaleGrid({self.grid!r}, partitions={self.num_partitions}, "
+            f"oversampling={self.oversampling_layers})"
+        )
+
+
+@dataclass(frozen=True, eq=False)
+class Subgrid:
+    """An extracted subdomain grid plus maps back to the parent."""
+
+    grid: Grid
+    cell_map: np.ndarray  # [nc_local] parent cell ids
+    vertex_map: np.ndarray  # [nv_local] parent vertex ids
+
+
+def extract_subgrid(parent: Grid, cell_ids: np.ndarray) -> Subgrid:
+    """Build the local grid of a cell subset (the subdomain grid layer,
+    Stuff::Grid::ChooseLayer::local used at block-swipdg.hh:93-96)."""
+    cell_ids = np.asarray(cell_ids, dtype=np.int64)
+    cells = parent.cells[cell_ids]
+    used = np.unique(cells.ravel())
+    renumber = np.full(parent.num_vertices, -1, dtype=np.int64)
+    renumber[used] = np.arange(len(used))
+    local = Grid(
+        vertices=parent.vertices[used],
+        cells=renumber[cells].astype(np.int32),
+        cell_type=parent.cell_type,
+    )
+    return Subgrid(grid=local, cell_map=cell_ids, vertex_map=used)

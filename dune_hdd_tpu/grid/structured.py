@@ -26,7 +26,7 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-__all__ = ["Grid", "RefinementInfo", "rectangle_grid", "refine"]
+__all__ = ["Grid", "RefinementInfo", "rectangle_grid", "refine", "bisect", "alu_cube_grid"]
 
 TRIANGLE = "triangle"
 QUAD = "quad"
@@ -324,3 +324,78 @@ def refine(grid: Grid) -> Tuple[Grid, RefinementInfo]:
         child_index=child_index,
     )
     return fine, info
+
+
+def bisect(grid: Grid) -> Tuple[Grid, RefinementInfo]:
+    """Uniform newest-vertex bisection of a triangle grid.
+
+    Convention: each cell's *refinement edge* is its local face 0, i.e. the
+    edge (v0, v1).  Children of (a, b, c) with midpoint m of (a, b) are
+    (c, a, m) and (b, c, m) — their newest vertex is m and their refinement
+    edge is again local face 0, so repeated bisection needs no bookkeeping.
+    This reproduces ALUGrid<2,2,simplex,conforming>'s globalRefine (2
+    bisections halve h), which the reference's expectation tables are tied to
+    (testcases/ESV2007.hh:53-58 adds initial refinements for exactly this
+    grid).  Raises if uniform bisection would create hanging nodes (an
+    interior refinement edge must be the refinement edge of both neighbours).
+    """
+    if grid.cell_type != TRIANGLE:
+        raise ValueError("bisection refinement is for triangle grids")
+    nv, nc = grid.num_vertices, grid.num_cells
+    ref_face = grid.cell_faces[:, 0]  # [NC]
+    # conformity: count how many cells claim each face as refinement edge
+    claims = np.bincount(ref_face, minlength=grid.num_faces)
+    interior = ~grid.boundary_faces
+    used = np.zeros(grid.num_faces, dtype=bool)
+    used[ref_face] = True
+    bad = used & interior & (claims != 2)
+    if bad.any():
+        raise ValueError(
+            "uniform bisection would create hanging nodes "
+            f"({int(bad.sum())} non-compatible refinement edges)"
+        )
+    ref_faces = np.unique(ref_face)
+    new_vid_of_face = np.full(grid.num_faces, -1, dtype=np.int64)
+    new_vid_of_face[ref_faces] = nv + np.arange(len(ref_faces))
+    mid = grid.face_vertices[ref_faces].mean(axis=1)
+    new_vertices = np.concatenate([grid.vertices, mid], axis=0)
+    vertex_parents = np.concatenate(
+        [np.stack([np.arange(nv)] * 2, axis=-1), grid.faces[ref_faces].astype(np.int64)],
+        axis=0,
+    )
+    a, b, c = grid.cells[:, 0], grid.cells[:, 1], grid.cells[:, 2]
+    m = new_vid_of_face[ref_face]
+    ch0 = np.stack([c, a, m], axis=-1)
+    ch1 = np.stack([b, c, m], axis=-1)
+    new_cells = np.stack([ch0, ch1], axis=1).reshape(-1, 3)
+    fine = Grid(
+        vertices=new_vertices, cells=new_cells.astype(np.int32), cell_type=TRIANGLE
+    )
+    info = RefinementInfo(
+        vertex_parents=vertex_parents,
+        parent_cell=np.repeat(np.arange(nc, dtype=np.int64), 2),
+        child_index=np.tile(np.arange(2, dtype=np.int64), nc),
+    )
+    return fine, info
+
+
+def alu_cube_grid(
+    lower=(0.0, 0.0), upper=(1.0, 1.0), num_elements=(4, 4), refinements: int = 0
+) -> Grid:
+    """Triangle grid mimicking Stuff::Grid::Providers::Cube over
+    ALUGrid<2,2,simplex,conforming>: squares split along the (0,0)-(1,1)
+    diagonal with the diagonal as refinement edge, then ``refinements``
+    uniform bisections (2 bisections = 1 DUNE globalRefine halving).
+    """
+    g = rectangle_grid(lower, upper, num_elements, TRIANGLE)
+    # reorder cells so the hypotenuse is local face 0 (refinement edge):
+    # lower tri (v00, v10, v11) -> (v11, v00, v10); upper (v00, v11, v01) ok
+    # lower tri (v00, v10, v11) -> (v00, v11, v10): refinement edge (v00, v11);
+    # upper tri (v00, v11, v01) already has the diagonal as local face 0
+    cells = g.cells.copy()
+    lower_rows = np.arange(0, len(cells), 2)
+    cells[lower_rows] = cells[lower_rows][:, [0, 2, 1]]
+    g = Grid(vertices=g.vertices, cells=cells, cell_type=TRIANGLE)
+    for _ in range(int(refinements)):
+        g, _info = bisect(g)
+    return g

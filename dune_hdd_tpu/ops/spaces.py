@@ -27,14 +27,21 @@ class Space:
     grid: Grid
     continuous: bool  # CG (vertex dofs) vs DG (per-cell dofs)
     order: int = 1
+    basis: str = "nodal"  # "nodal" (P1/Q1 vertex basis) | "p1" (total-degree
+    # monomials {1, xi, eta} — dune-fem's DG space on quads is total-degree P1,
+    # which the SGrid expectation tables were recorded with)
 
     def __post_init__(self):
         if self.order != 1:
             raise NotImplementedError("only order 1 implemented so far")
+        if self.basis == "p1" and self.continuous:
+            raise ValueError("monomial p1 basis is DG-only")
 
     @property
     def shape_count(self) -> int:
         """Local shape functions per cell."""
+        if self.basis == "p1":
+            return 3
         return self.grid.vertices_per_cell
 
     @property
@@ -58,12 +65,16 @@ class Space:
     # cellverts: [..., nvc, 2]; x: [..., k, 2] physical points inside the cell
     def shape_values(self, cellverts: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
         """[..., k, nd] values of the local basis at physical points."""
+        if self.basis == "p1" and self.grid.cell_type == QUAD:
+            return _p1_monomial_values(cellverts, x)
         if self.grid.cell_type == TRIANGLE:
             return _tri_shape_values(cellverts, x)
         return _quad_shape_values(cellverts, x)
 
     def shape_gradients(self, cellverts: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
         """[..., k, nd, 2] physical gradients at the points."""
+        if self.basis == "p1" and self.grid.cell_type == QUAD:
+            return _p1_monomial_grads(cellverts, x)
         if self.grid.cell_type == TRIANGLE:
             g = _tri_shape_grads(cellverts)  # [..., 3, 2], constant in x
             return jnp.broadcast_to(
@@ -73,6 +84,8 @@ class Space:
 
     def interpolate_vertex_function(self, values_at_vertices: jnp.ndarray) -> jnp.ndarray:
         """Nodal interpolation: vertex values -> DoF vector."""
+        if self.basis != "nodal":
+            raise NotImplementedError("nodal interpolation needs the nodal basis")
         if self.continuous:
             return values_at_vertices
         return values_at_vertices[self.grid.cells].reshape(-1)
@@ -86,8 +99,10 @@ def cg_space(grid: Grid, order: int = 1) -> Space:
     return Space(grid, continuous=True, order=order)
 
 
-def dg_space(grid: Grid, order: int = 1) -> Space:
-    return Space(grid, continuous=False, order=order)
+def dg_space(grid: Grid, order: int = 1, basis: str = "nodal") -> Space:
+    """DG space: nodal P1 on triangles / Q1 on quads by default; pass
+    basis="p1" on quads for a total-degree-1 monomial space."""
+    return Space(grid, continuous=False, order=order, basis=basis)
 
 
 # -- physical-coordinate shape functions -----------------------------------
@@ -118,6 +133,28 @@ def _tri_shape_grads(cellverts):
     g1 = jnp.stack([e2[..., 1], -e2[..., 0]], axis=-1) / det
     g2 = jnp.stack([-e1[..., 1], e1[..., 0]], axis=-1) / det
     g0 = -g1 - g2
+    return jnp.stack([g0, g1, g2], axis=-2)
+
+
+def _p1_monomial_values(cellverts, x):
+    """Total-degree-1 basis {1, xi-1/2, eta-1/2} in cell-local coordinates
+    (span == dune-fem's orthonormal DG basis of order 1).  [..., k, 3]."""
+    lo = cellverts[..., 0, :]
+    ext = cellverts[..., 2, :] - lo
+    t = (x - lo[..., None, :]) / ext[..., None, :]
+    one = jnp.ones_like(t[..., 0])
+    return jnp.stack([one, t[..., 0] - 0.5, t[..., 1] - 0.5], axis=-1)
+
+
+def _p1_monomial_grads(cellverts, x):
+    lo = cellverts[..., 0, :]
+    ext = cellverts[..., 2, :] - lo
+    zeros = jnp.zeros(x.shape[:-1])
+    inv_x = jnp.broadcast_to(1.0 / ext[..., None, 0], zeros.shape)
+    inv_y = jnp.broadcast_to(1.0 / ext[..., None, 1], zeros.shape)
+    g0 = jnp.stack([zeros, zeros], axis=-1)
+    g1 = jnp.stack([inv_x, zeros], axis=-1)
+    g2 = jnp.stack([zeros, inv_y], axis=-1)
     return jnp.stack([g0, g1, g2], axis=-2)
 
 

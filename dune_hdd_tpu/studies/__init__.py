@@ -1,0 +1,4 @@
+from .eoc import EocStudy, eoc_rates
+from .expectations import expected_results, record
+
+__all__ = ["EocStudy", "eoc_rates", "expected_results", "record"]

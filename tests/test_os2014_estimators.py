@@ -1,0 +1,68 @@
+"""OS2014 block estimator regression vs the reference expectation tables
+(test/linearelliptic-block-swipdg-expectations_esv2007_2daluconform.cxx)."""
+import numpy as np
+import pytest
+
+from dune_hdd_tpu.discretizations.block_swipdg import BlockSWIPDGDiscretization
+from dune_hdd_tpu.estimators.block_swipdg import BlockSWIPDGEstimators
+from dune_hdd_tpu.functions import Testcase1ExactSolution
+from dune_hdd_tpu.grid import alu_cube_grid
+from dune_hdd_tpu.ops import error_norms
+from dune_hdd_tpu.problems import ESV2007Problem
+
+BI = {"type": "stuff.grid.boundaryinfo.alldirichlet"}
+
+# partitioning -> (eta_R_OS2014, eta_OS2014, eff_OS2014) at level 0
+TABLE = {
+    (1, 1): (5.79e-1, 1.10, 3.35),
+    (2, 2): (2.89e-1, 8.10e-1, 2.47),
+    (8, 8): (7.23e-2, 5.93e-1, 1.81),
+}
+
+
+@pytest.mark.parametrize("part", sorted(TABLE))
+def test_os2014_matches_reference_tables(part):
+    ref_r, ref_os, ref_eff = TABLE[part]
+    g = alu_cube_grid((-1, -1), (1, 1), (4, 4), refinements=2)
+    d = BlockSWIPDGDiscretization(g, BI, ESV2007Problem(), num_partitions=part)
+    u = d.solve(options={"type": "direct"})
+    eta_r = BlockSWIPDGEstimators.estimate(d, u, "eta_R_OS2014")
+    eta_os = BlockSWIPDGEstimators.estimate(d, u, "eta_OS2014")
+    e = error_norms(d.space, u, Testcase1ExactSolution())
+    assert eta_r == pytest.approx(ref_r, rel=5e-3)
+    assert eta_os == pytest.approx(ref_os, rel=5e-3)
+    assert eta_os / e["H1_semi"] == pytest.approx(ref_eff, rel=5e-3)
+
+
+def test_os2014_star_equals_plain_nonparametric():
+    """For nonparametric problems the star variants coincide
+    (eta_DF_OS2014 = eta_DF_OS2014_* in the tables, BASELINE.md)."""
+    g = alu_cube_grid((-1, -1), (1, 1), (4, 4), refinements=2)
+    d = BlockSWIPDGDiscretization(g, BI, ESV2007Problem(), num_partitions=(2, 2))
+    u = d.solve(options={"type": "direct"})
+    df = BlockSWIPDGEstimators.estimate(d, u, "eta_DF_OS2014")
+    df_star = BlockSWIPDGEstimators.estimate(d, u, "eta_DF_OS2014_*")
+    assert df == pytest.approx(df_star, rel=1e-12)
+    os_ = BlockSWIPDGEstimators.estimate(d, u, "eta_OS2014")
+    os_star = BlockSWIPDGEstimators.estimate(d, u, "eta_OS2014_*")
+    assert os_ == pytest.approx(os_star, rel=1e-12)
+
+
+def test_os2014_estimate_local_per_subdomain():
+    g = alu_cube_grid((-1, -1), (1, 1), (4, 4), refinements=2)
+    d = BlockSWIPDGDiscretization(g, BI, ESV2007Problem(), num_partitions=(2, 2))
+    u = d.solve(options={"type": "direct"})
+    ind = BlockSWIPDGEstimators.estimate_local(d, u, "eta_OS2014")
+    assert ind.shape == (4,)
+    assert (ind > 0).all()
+    # reference scaling: sum of indicators ~ 3 * (sum of squares terms)/eta^2;
+    # for the symmetric ESV2007 problem all four subdomains contribute equally
+    np.testing.assert_allclose(ind, ind[0], rtol=1e-10)
+
+
+def test_unknown_type_rejected():
+    g = alu_cube_grid((-1, -1), (1, 1), (4, 4), refinements=2)
+    d = BlockSWIPDGDiscretization(g, BI, ESV2007Problem(), num_partitions=(2, 2))
+    u = d.solve(options={"type": "direct"})
+    with pytest.raises(ValueError):
+        BlockSWIPDGEstimators.estimate(d, u, "eta_bogus")
