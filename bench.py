@@ -1,0 +1,34 @@
+#!/usr/bin/env python
+"""Driver benchmark: SPE10 SWIPDG assemble + Jacobi-CG solve throughput.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}; baseline is
+the BASELINE.json north star of 5 MDoF/s (assemble + solve).
+"""
+import json
+import os
+import sys
+
+
+def main():
+    import jax
+
+    bisections = int(os.environ.get("BENCH_BISECTIONS", "4"))
+    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
+    from dune_hdd_tpu.bench_harness import run_spe10_bench
+
+    result = run_spe10_bench(bisections=bisections, repeats=repeats)
+    out = {
+        "metric": "spe10_swipdg_assemble_solve",
+        "value": round(result["mdof_per_s"], 3),
+        "unit": "MDoF/s",
+        "vs_baseline": round(result["mdof_per_s"] / 5.0, 3),
+        "num_dofs": result["num_dofs"],
+        "seconds": round(result["seconds"], 4),
+        "residual": result["residual"],
+        "platform": jax.devices()[0].platform,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

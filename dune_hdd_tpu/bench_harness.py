@@ -1,0 +1,118 @@
+"""Benchmark harness: jitted end-to-end SPE10 SWIPDG assemble + solve.
+
+The BASELINE.json north star is ">= 5 MDoF/s assemble + CG solve wall-time on
+SPE10 block-SWIPDG".  This harness builds one jitted function
+``f(perm_field) -> (u, residual_norm)`` in which the permeability field is the
+runtime input, so the whole pipeline — coefficient evaluation at quadrature
+points, batched volume/face kernels, segment-sum global assembly, and the
+Jacobi-preconditioned CG on the ELL operator — executes on-device each call
+(nothing constant-folds away).
+"""
+from __future__ import annotations
+
+import time
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import numpy as np
+
+from .discretizations import SWIPDGDiscretization
+from .functions.base import (
+    ConstantFunction,
+    IndicatorFunction,
+    LambdaFunction,
+    ScaledFunction,
+    SumFunction,
+    nonparametric,
+)
+from .functions.spe10 import MODEL1_NX, MODEL1_NZ, _synthetic_model1_field
+from .grid.structured import alu_cube_grid
+from .problems.default import DefaultProblem
+from .testcases._spe10_channel import CHANNEL
+
+__all__ = ["build_spe10_bench", "run_spe10_bench"]
+
+_FORCES = [
+    ((0.95, 0.30), (1.10, 0.45), 2000.0),
+    ((3.00, 0.75), (3.15, 0.90), -1000.0),
+    ((4.25, 0.25), (4.40, 0.40), -1000.0),
+]
+
+
+def _field_tensor_function(field: jnp.ndarray) -> LambdaFunction:
+    lower = jnp.asarray([0.0, 0.0])
+    upper = jnp.asarray([5.0, 1.0])
+    nxz = jnp.asarray([MODEL1_NX, MODEL1_NZ], dtype=field.dtype)
+
+    def evaluate(x):
+        rel = (x - lower) / (upper - lower)
+        ij = jnp.clip(jnp.floor(rel * nxz), 0, nxz - 1).astype(jnp.int32)
+        lam = field[ij[..., 0], ij[..., 1]]
+        return lam[..., None, None] * jnp.eye(2, dtype=x.dtype)
+
+    return LambdaFunction(evaluate, range_shape=(2, 2), order=0, name="spe10_field")
+
+
+def build_spe10_bench(bisections: int = 4, maxiter: int = 300,
+                      tol: float = 1e-5, dtype=jnp.float32):
+    """Returns (jitted_fn, example_field, num_dofs)."""
+    grid = alu_cube_grid((0.0, 0.0), (5.0, 1.0), (100, 20), refinements=bisections)
+    bi = {"type": "stuff.grid.boundaryinfo.alldirichlet"}
+    channel = IndicatorFunction(CHANNEL, name="channel")
+    diffusion_factor = SumFunction(
+        [ConstantFunction(1.0), ScaledFunction(channel, -0.9)], name="diffusion_factor"
+    )
+    force = IndicatorFunction(_FORCES, name="force")
+    num_dofs = grid.num_cells * 3
+
+    from .grid.boundaryinfo import make_boundary_info
+    from .la.block_ell import block_cg, build_block_ell
+    from .ops.assembly import elliptic_cell_matrices, force_cell_vectors
+    from .ops.spaces import dg_space
+    from .ops.swipdg import swipdg_face_blocks
+
+    binfo = make_boundary_info(grid, bi)
+    space = dg_space(grid)
+    interior = np.nonzero(grid.interior_faces)[0]
+    dirichlet = np.nonzero(binfo.dirichlet_faces)[0]
+
+    def assemble_and_solve(field):
+        tensor = _field_tensor_function(field)
+        vol = elliptic_cell_matrices(space, diffusion_factor, tensor)
+        ib, bb = swipdg_face_blocks(
+            space, diffusion_factor, tensor, interior, dirichlet
+        )
+        A = build_block_ell(space, vol, ib, bb, interior, dirichlet)
+        b = force_cell_vectors(space, force).reshape(-1)
+        u, res = block_cg(A, b, tol=tol, maxiter=maxiter)
+        return u, res
+
+    fn = jax.jit(assemble_and_solve)
+    field = jnp.asarray(_synthetic_model1_field(), dtype=dtype)
+    return fn, field, num_dofs
+
+
+def run_spe10_bench(bisections: int = 4, repeats: int = 3, **kw) -> dict:
+    fn, field, num_dofs = build_spe10_bench(bisections=bisections, **kw)
+    # warmup / compile
+    u, res = fn(field)
+    u.block_until_ready()
+    times = []
+    for i in range(repeats):
+        f = field * (1.0 + 1e-6 * (i + 1))  # defeat any caching of identical inputs
+        t0 = time.perf_counter()
+        u, res = fn(f)
+        u.block_until_ready()
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+    mdofs = num_dofs / dt / 1e6
+    return {
+        "num_dofs": num_dofs,
+        "seconds": dt,
+        "mdof_per_s": mdofs,
+        "residual": float(res),
+        "all_times": times,
+    }

@@ -1,0 +1,154 @@
+"""Block-ELL operators for DG spaces — the TPU fast path.
+
+A DG-P1 SWIPDG operator couples each cell only with itself and its face
+neighbours, so the matrix is [NC, 1+nfc] dense nd x nd blocks.  SpMV becomes
+a coalesced row gather of [NC, B, nd] plus one batched einsum — no scalar
+gathers, VPU-friendly, and the natural layout for a Pallas kernel and for
+subdomain sharding (neighbor slots are the halo).
+
+Compared to the generic scalar ELL SpMV (la/sparse.py) this is ~2 orders of
+magnitude faster on TPU for the SWIPDG bench (scalar gathers of [N, 12]
+indices dominate there).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..grid.structured import Grid
+from ..ops.spaces import Space
+
+__all__ = ["BlockEllMatrix", "build_block_ell", "block_jacobi_preconditioner", "block_cg"]
+
+
+@jax.tree_util.register_pytree_node_class
+class BlockEllMatrix:
+    """neighbors [NC, B] (slot 0 = self; padded slots point at self with a
+    zero block), blocks [NC, B, nd, nd]."""
+
+    def __init__(self, neighbors: np.ndarray, blocks: jnp.ndarray):
+        self.neighbors = neighbors  # static int32
+        self.blocks = blocks
+
+    def tree_flatten(self):
+        return (self.blocks,), self.neighbors
+
+    @classmethod
+    def tree_unflatten(cls, neighbors, children):
+        return cls(neighbors, children[0])
+
+    @property
+    def num_cells(self):
+        return self.blocks.shape[0]
+
+    @property
+    def nd(self):
+        return self.blocks.shape[-1]
+
+    def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
+        nc, nd = self.num_cells, self.nd
+        xc = x.reshape(nc, nd)
+        xg = xc[self.neighbors]  # [NC, B, nd] — coalesced nd-wide rows
+        y = jnp.einsum("cbij,cbj->ci", self.blocks, xg)
+        return y.reshape(-1)
+
+    __matmul__ = matvec
+
+    def diagonal_blocks(self) -> jnp.ndarray:
+        return self.blocks[:, 0]
+
+    def __mul__(self, s):
+        return BlockEllMatrix(self.neighbors, self.blocks * s)
+
+    __rmul__ = __mul__
+
+    def __add__(self, other):
+        if isinstance(other, BlockEllMatrix):
+            return BlockEllMatrix(self.neighbors, self.blocks + other.blocks)
+        return NotImplemented
+
+
+def build_block_ell(
+    space: Space,
+    vol_local: jnp.ndarray,  # [NC, nd, nd]
+    int_blocks: jnp.ndarray,  # [Fi, 2, 2, nd, nd] (from swipdg_face_blocks)
+    bnd_blocks: jnp.ndarray,  # [Fb, nd, nd]
+    interior_faces: np.ndarray,
+    boundary_faces: np.ndarray,
+) -> BlockEllMatrix:
+    """Assemble SWIPDG volume/face blocks into block-ELL layout."""
+    grid = space.grid
+    nc, nd, nfc = grid.num_cells, space.shape_count, grid.faces_per_cell
+    B = 1 + nfc
+    fi = np.asarray(interior_faces)
+    fb = np.asarray(boundary_faces)
+
+    neighbors = np.tile(np.arange(nc, dtype=np.int32)[:, None], (1, B))
+    if len(fi):
+        cin, cout = grid.face_cells[fi, 0], grid.face_cells[fi, 1]
+        li, lo = grid.face_local[fi, 0], grid.face_local[fi, 1]
+        neighbors[cin, 1 + li] = cout
+        neighbors[cout, 1 + lo] = cin
+
+    blocks = jnp.zeros((nc, B, nd, nd), dtype=vol_local.dtype)
+    blocks = blocks.at[:, 0].add(vol_local)
+    if len(fi):
+        cin_j = jnp.asarray(cin)
+        cout_j = jnp.asarray(cout)
+        blocks = blocks.at[cin_j, 0].add(int_blocks[:, 0, 0])
+        blocks = blocks.at[cout_j, 0].add(int_blocks[:, 1, 1])
+        blocks = blocks.at[cin_j, 1 + jnp.asarray(li)].set(int_blocks[:, 0, 1])
+        blocks = blocks.at[cout_j, 1 + jnp.asarray(lo)].set(int_blocks[:, 1, 0])
+    if len(fb):
+        blocks = blocks.at[jnp.asarray(grid.face_cells[fb, 0]), 0].add(bnd_blocks)
+    return BlockEllMatrix(neighbors, blocks)
+
+
+def block_jacobi_preconditioner(matrix: BlockEllMatrix):
+    """Inverse of the nd x nd diagonal blocks, applied blockwise."""
+    inv = jnp.linalg.inv(matrix.diagonal_blocks())  # [NC, nd, nd]
+    nd = matrix.nd
+
+    def apply(r):
+        rc = r.reshape(-1, nd)
+        return jnp.einsum("cij,cj->ci", inv, rc).reshape(-1)
+
+    return apply
+
+
+def block_cg(matrix: BlockEllMatrix, b: jnp.ndarray, tol: float = 1e-6,
+             maxiter: int = 500, M=None,
+             x0: Optional[jnp.ndarray] = None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Preconditioned CG on a BlockEllMatrix (lax.while_loop, jittable).
+    Returns (x, relative_residual)."""
+    if M is None:
+        M = block_jacobi_preconditioner(matrix)
+    x = jnp.zeros_like(b) if x0 is None else x0
+    r = b - matrix.matvec(x)
+    z = M(r)
+    p = z
+    rz = jnp.vdot(r, z)
+    bnorm = jnp.linalg.norm(b)
+    atol2 = (tol * jnp.maximum(bnorm, 1e-30)) ** 2
+
+    def cond(state):
+        x, r, z, p, rz, k = state
+        return (jnp.vdot(r, r) > atol2) & (k < maxiter)
+
+    def step(state):
+        x, r, z, p, rz, k = state
+        ap = matrix.matvec(p)
+        alpha = rz / jnp.vdot(p, ap)
+        x = x + alpha * p
+        r = r - alpha * ap
+        z = M(r)
+        rz_new = jnp.vdot(r, z)
+        p = z + (rz_new / rz) * p
+        return x, r, z, p, rz_new, k + 1
+
+    x, r, z, p, rz, k = jax.lax.while_loop(cond, step, (x, r, z, p, rz, 0))
+    return x, jnp.linalg.norm(r) / jnp.maximum(bnorm, 1e-30)

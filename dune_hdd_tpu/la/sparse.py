@@ -57,17 +57,20 @@ class SparsityPattern:
             sorted_vals, jnp.asarray(self.seg_ids), num_segments=self.nnz
         )
 
+    # NOTE: cache only host-side int32 numpy here.  Caching jnp conversions
+    # would stash tracers when the first conversion happens inside a jit
+    # trace (int64 -> int32 canonicalisation is a traced convert).
     @cached_property
     def _jnp_ell_cols(self):
-        return jnp.asarray(self.ell_cols)
+        return self.ell_cols.astype(np.int32)
 
     @cached_property
     def _jnp_ell_mask(self):
-        return jnp.asarray(self.ell_mask)
+        return self.ell_mask
 
     @cached_property
     def _jnp_slot_ell_pos(self):
-        return jnp.asarray(self.slot_ell_pos)
+        return self.slot_ell_pos.astype(np.int32)
 
     def ell_values(self, slot_values: jnp.ndarray) -> jnp.ndarray:
         """[nnz] slot values -> [N, K] ELL value array."""
@@ -111,7 +114,7 @@ def build_pattern(
         shape=(n, m),
         nnz=nnz,
         perm=perm,
-        seg_ids=seg_ids,
+        seg_ids=seg_ids.astype(np.int32),
         slot_rows=slot_rows,
         slot_cols=slot_cols,
         ell_width=K,

@@ -1,0 +1,22 @@
+from .gram_schmidt import gram_schmidt, pod, trivial_extension
+from .greedy import (
+    GreedyResult,
+    greedy_lrbms,
+    greedy_rb,
+    sample_randomly,
+    sample_uniformly,
+)
+from .reductor import RBReductor, ReducedModel
+
+__all__ = [
+    "gram_schmidt",
+    "pod",
+    "trivial_extension",
+    "GreedyResult",
+    "greedy_rb",
+    "greedy_lrbms",
+    "sample_randomly",
+    "sample_uniformly",
+    "RBReductor",
+    "ReducedModel",
+]
