@@ -57,9 +57,20 @@ def _field_tensor_function(field: jnp.ndarray) -> LambdaFunction:
 
 
 def build_spe10_bench(bisections: int = 4, maxiter: int = 300,
-                      tol: float = 1e-5, dtype=jnp.float32):
-    """Returns (jitted_fn, example_field, num_dofs)."""
-    grid = alu_cube_grid((0.0, 0.0), (5.0, 1.0), (100, 20), refinements=bisections)
+                      tol: float = 1e-5, dtype=jnp.float32,
+                      preconditioner: str = "block_jacobi"):
+    """Returns (jitted_fn, example_field, num_dofs).  preconditioner:
+    "block_jacobi" (default) or "mg" (geometric multigrid V-cycle over the
+    bisection hierarchy — much better convergence, but currently compiles
+    pathologically slowly through the axon TPU tunnel; validated on CPU,
+    see tests/test_multigrid.py).  KNOWN ISSUE to revisit: MG-on-axon
+    compile time."""
+    # MG levels at every 2nd bisection (one halving per level)
+    grids = [
+        alu_cube_grid((0.0, 0.0), (5.0, 1.0), (100, 20), refinements=b)
+        for b in range(bisections, -1, -2)
+    ]
+    grid = grids[0]
     bi = {"type": "stuff.grid.boundaryinfo.alldirichlet"}
     channel = IndicatorFunction(CHANNEL, name="channel")
     diffusion_factor = SumFunction(
@@ -70,6 +81,7 @@ def build_spe10_bench(bisections: int = 4, maxiter: int = 300,
 
     from .grid.boundaryinfo import make_boundary_info
     from .la.block_ell import block_cg, build_block_ell
+    from .la.multigrid import MultigridHierarchy, mg_preconditioner
     from .ops.assembly import elliptic_cell_matrices, force_cell_vectors
     from .ops.spaces import dg_space
     from .ops.swipdg import swipdg_face_blocks
@@ -87,7 +99,11 @@ def build_spe10_bench(bisections: int = 4, maxiter: int = 300,
         )
         A = build_block_ell(space, vol, ib, bb, interior, dirichlet)
         b = force_cell_vectors(space, force).reshape(-1)
-        u, res = block_cg(A, b, tol=tol, maxiter=maxiter)
+        M = None
+        if preconditioner == "mg":
+            hierarchy = MultigridHierarchy(grids, A, pre=3, post=3)
+            M = mg_preconditioner(hierarchy)
+        u, res = block_cg(A, b, tol=tol, maxiter=maxiter, M=M)
         return u, res
 
     fn = jax.jit(assemble_and_solve)

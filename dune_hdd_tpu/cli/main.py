@@ -1,0 +1,112 @@
+"""CLI: config-driven solve drivers (cg_main.cc / swipdg_main.cc /
+block-swipdg_main.cc / thermalblock_main.cc analogs, plus an RB greedy
+subcommand replacing thermalblock_main.py).
+
+Usage:
+  dune-hdd-tpu <example> [config.cfg] [--visualize PREFIX]
+  dune-hdd-tpu rb [config.cfg]        # thermalblock greedy workflow
+
+First run without a config writes the default config and exits
+(write-config-then-rerun pattern, cg_main.cc:23-33).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+_EXAMPLES = {}
+
+
+def _registry():
+    from .examples import (
+        LinearellipticExampleBlockSWIPDG,
+        LinearellipticExampleCG,
+        LinearellipticExampleSWIPDG,
+        ThermalblockExample,
+    )
+
+    return {
+        "cg": LinearellipticExampleCG,
+        "swipdg": LinearellipticExampleSWIPDG,
+        "block-swipdg": LinearellipticExampleBlockSWIPDG,
+        "thermalblock": ThermalblockExample,
+    }
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="dune-hdd-tpu")
+    parser.add_argument("example", choices=list(_registry()) + ["rb"])
+    parser.add_argument("config", nargs="?", default=None)
+    parser.add_argument("--visualize", default=None, metavar="PREFIX")
+    parser.add_argument("--solver", default=None)
+    parser.add_argument(
+        "--platform", default=None, choices=["cpu", "tpu", "axon"],
+        help="force the jax platform (the axon TPU plugin ignores JAX_PLATFORMS)",
+    )
+    args = parser.parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    if args.example == "rb":
+        return _run_rb(args)
+
+    cls = _registry()[args.example]
+    cfg_file = args.config or (cls.static_id() + ".cfg")
+    if not os.path.isfile(cfg_file):
+        path = cls.write_config_file(cfg_file)
+        print(f"wrote default config to {path!r}; edit it and rerun")
+        return 0
+    example = cls().initialize([cfg_file])
+    disc = example.discretization()
+    options = {"type": args.solver} if args.solver else None
+    mus = example.parameters() or [None]
+    for i, mu in enumerate(mus):
+        label = f"mu_{i}" if mu is not None else "solution"
+        print(f"solving for parameter block {i}: {mu}")
+        u = disc.solve(mu, options=options)
+        import jax.numpy as jnp
+
+        print(f"  |u|_max = {float(jnp.max(jnp.abs(u))):.6e}")
+        if args.visualize:
+            path = disc.visualize(u, f"{args.visualize}_{label}", "solution")
+            print(f"  wrote {path}")
+    return 0
+
+
+def _run_rb(args):
+    from .examples import ThermalblockExample
+
+    cfg_file = args.config or (ThermalblockExample.static_id() + ".cfg")
+    if not os.path.isfile(cfg_file):
+        path = ThermalblockExample.write_config_file(cfg_file)
+        print(f"wrote default config to {path!r}; edit it and rerun")
+        return 0
+    example = ThermalblockExample().initialize([cfg_file])
+    disc = example.discretization()
+    cfg = example.config
+    from ..mor import greedy_rb, sample_randomly, sample_uniformly
+
+    n = int(cfg.get("pymor.num_training_samples", 10))
+    if str(cfg.get("pymor.training_set", "random")) == "random":
+        training = sample_randomly(disc.parameter_type, 0.1, 1.0, n)
+    else:
+        training = sample_uniformly(disc.parameter_type, 0.1, 1.0, n)
+    print(f"greedy RB training on {len(training)} samples ...")
+    res = greedy_rb(
+        disc,
+        training,
+        target_error=float(cfg.get("pymor.target_error", 1e-6)),
+        max_extensions=int(cfg.get("pymor.max_rb_size", 20)),
+        extension_algorithm=str(cfg.get("pymor.extension_algorithm", "gram_schmidt")),
+        error_norm=str(cfg.get("pymor.greedy_error_norm", "h1_semi")),
+        verbose=True,
+    )
+    print(f"final basis size {res.basis.shape[0]}, max error {res.max_errors[-1]:.3e}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

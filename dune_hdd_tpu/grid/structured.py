@@ -189,7 +189,20 @@ def _cell_local_faces(cells: np.ndarray, cell_type: str) -> np.ndarray:
     return np.stack([cells[:, [a, b]] for a, b in idx], axis=1)
 
 
+import os as _os
+
+_NATIVE_THRESHOLD = int(_os.environ.get("DUNE_HDD_TPU_NATIVE_THRESHOLD", "200000"))
+
+
 def _build_connectivity(cells: np.ndarray, cell_type: str):
+    # large meshes: the C++ hash-map builder (native/hdd_native.cpp) beats the
+    # numpy sort path; small meshes stay on numpy to avoid the ctypes round trip
+    if cells.size >= _NATIVE_THRESHOLD or _os.environ.get("DUNE_HDD_TPU_NATIVE") == "1":
+        from ..native import build_connectivity as _native_conn
+
+        out = _native_conn(cells)
+        if out is not None:
+            return out
     local = _cell_local_faces(cells, cell_type)  # [NC, nfc, 2]
     nc, nfc, _ = local.shape
     flat = local.reshape(-1, 2)
