@@ -80,7 +80,7 @@ def build_spe10_bench(bisections: int = 4, maxiter: int = 300,
     num_dofs = grid.num_cells * 3
 
     from .grid.boundaryinfo import make_boundary_info
-    from .la.block_ell import block_cg, build_block_ell
+    from .la.block_ell import block_cg, build_block_ell, symmetric_diagonal_scaling
     from .la.multigrid import MultigridHierarchy, mg_preconditioner
     from .ops.assembly import elliptic_cell_matrices, force_cell_vectors
     from .ops.spaces import dg_space
@@ -99,12 +99,15 @@ def build_spe10_bench(bisections: int = 4, maxiter: int = 300,
         )
         A = build_block_ell(space, vol, ib, bb, interior, dirichlet)
         b = force_cell_vectors(space, force).reshape(-1)
+        # symmetric diagonal scaling: keeps the f32 Krylov iteration stable
+        # on the 1e6-contrast field
+        A_s, b_s, s = symmetric_diagonal_scaling(A, b)
         M = None
         if preconditioner == "mg":
-            hierarchy = MultigridHierarchy(grids, A, pre=3, post=3)
+            hierarchy = MultigridHierarchy(grids, A_s, pre=3, post=3)
             M = mg_preconditioner(hierarchy)
-        u, res = block_cg(A, b, tol=tol, maxiter=maxiter, M=M)
-        return u, res
+        u_s, res = block_cg(A_s, b_s, tol=tol, maxiter=maxiter, M=M)
+        return u_s * s, res
 
     fn = jax.jit(assemble_and_solve)
     field = jnp.asarray(_synthetic_model1_field(), dtype=dtype)

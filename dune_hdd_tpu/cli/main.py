@@ -36,7 +36,7 @@ def _registry():
 
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="dune-hdd-tpu")
-    parser.add_argument("example", choices=list(_registry()) + ["rb"])
+    parser.add_argument("example", choices=list(_registry()) + ["rb", "study"])
     parser.add_argument("config", nargs="?", default=None)
     parser.add_argument("--visualize", default=None, metavar="PREFIX")
     parser.add_argument("--solver", default=None)
@@ -52,6 +52,8 @@ def main(argv=None):
 
     if args.example == "rb":
         return _run_rb(args)
+    if args.example == "study":
+        return _run_study(args)
 
     cls = _registry()[args.example]
     cfg_file = args.config or (cls.static_id() + ".cfg")
@@ -73,6 +75,37 @@ def main(argv=None):
         if args.visualize:
             path = disc.visualize(u, f"{args.visualize}_{label}", "solution")
             print(f"  wrote {path}")
+    return 0
+
+
+def _run_study(args):
+    """EOC/estimator study runner (the analog of the reference's gtest study
+    executables, printed as a convergence table)."""
+    from ..discretizations import SWIPDGDiscretization
+    from ..estimators import SWIPDGEstimators
+    from ..studies import EocStudy, eoc_rates
+    from ..testcases import ESV2007TestCase
+
+    refinements = 2
+    tc = ESV2007TestCase(num_refinements=refinements)
+    tc.print_header()
+
+    def estimate(disc, u, type_, level):
+        return SWIPDGEstimators.estimate(
+            disc.space, disc.boundary_info, tc.problem, u, type_
+        )
+
+    study = EocStudy(
+        tc, SWIPDGDiscretization,
+        estimator_types=("eta_NC_ESV2007", "eta_R_ESV2007", "eta_DF_ESV2007", "eta_ESV2007"),
+        estimate_fn=estimate,
+    )
+    results = study.run(verbose=True)
+    print("\nEOC rates:")
+    for t, vals in results.items():
+        print(f"  {t}: " + "  ".join(f"{r:.2f}" for r in eoc_rates(vals)))
+    eff = [e / h for e, h in zip(results["eta_ESV2007"], results["H1_semi"])]
+    print("  eff_ESV2007: " + "  ".join(f"{v:.3f}" for v in eff))
     return 0
 
 

@@ -108,9 +108,36 @@ def build_block_ell(
     return BlockEllMatrix(neighbors, blocks)
 
 
+def inv3x3(m: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form batched 3x3 inverse (adjugate/det) — avoids batched LU,
+    which compiles poorly on the TPU backend."""
+    a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    d, e, f = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    g, h, i = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    A = e * i - f * h
+    B = -(d * i - f * g)
+    C = d * h - e * g
+    det = a * A + b * B + c * C
+    adj = jnp.stack(
+        [
+            jnp.stack([A, -(b * i - c * h), b * f - c * e], axis=-1),
+            jnp.stack([B, a * i - c * g, -(a * f - c * d)], axis=-1),
+            jnp.stack([C, -(a * h - b * g), a * e - b * d], axis=-1),
+        ],
+        axis=-2,
+    )
+    return adj / det[..., None, None]
+
+
+def _block_inverse(blocks: jnp.ndarray) -> jnp.ndarray:
+    if blocks.shape[-1] == 3:
+        return inv3x3(blocks)
+    return jnp.linalg.inv(blocks)
+
+
 def block_jacobi_preconditioner(matrix: BlockEllMatrix):
     """Inverse of the nd x nd diagonal blocks, applied blockwise."""
-    inv = jnp.linalg.inv(matrix.diagonal_blocks())  # [NC, nd, nd]
+    inv = _block_inverse(matrix.diagonal_blocks())  # [NC, nd, nd]
     nd = matrix.nd
 
     def apply(r):
@@ -118,6 +145,21 @@ def block_jacobi_preconditioner(matrix: BlockEllMatrix):
         return jnp.einsum("cij,cj->ci", inv, rc).reshape(-1)
 
     return apply
+
+
+def symmetric_diagonal_scaling(matrix: BlockEllMatrix, b: jnp.ndarray):
+    """(A, b) -> (S A S, S b) with S = diag(A)^{-1/2}; returns the scaled
+    system plus S for unscaling.  For high-contrast coefficients this keeps
+    the float32 dynamic range of the Krylov iteration tame (entries of the
+    scaled matrix are O(1))."""
+    nd = matrix.nd
+    diag = jnp.einsum("cii->ci", matrix.diagonal_blocks())  # [NC, nd]
+    s = 1.0 / jnp.sqrt(jnp.maximum(diag, 1e-30))
+    s_rows = s[:, None, :, None]  # scale test index i of cell c
+    s_cols = s[matrix.neighbors][:, :, None, :]  # ansatz index j of neighbor
+    blocks = matrix.blocks * s_rows * s_cols
+    s_flat = s.reshape(-1)
+    return BlockEllMatrix(matrix.neighbors, blocks), b * s_flat, s_flat
 
 
 def block_cg(matrix: BlockEllMatrix, b: jnp.ndarray, tol: float = 1e-6,

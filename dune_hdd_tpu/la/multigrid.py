@@ -21,7 +21,7 @@ import numpy as np
 
 from ..grid.structured import Grid
 from ..ops.spaces import Space, dg_space
-from .block_ell import BlockEllMatrix, block_jacobi_preconditioner
+from .block_ell import BlockEllMatrix, _block_inverse, block_jacobi_preconditioner
 
 __all__ = ["DGProlongation", "build_dg_prolongation", "galerkin_rap",
            "MultigridHierarchy", "v_cycle", "mg_preconditioner"]
@@ -121,7 +121,7 @@ class MultigridHierarchy:
             self.prolongations.append(prol)
             self.matrices.append(galerkin_rap(self.matrices[-1], prol, space_c))
         for A in self.matrices:
-            self.smoother_inv.append(jnp.linalg.inv(A.diagonal_blocks()))
+            self.smoother_inv.append(_block_inverse(A.diagonal_blocks()))
         n_coarse = self.matrices[-1].num_cells * self.matrices[-1].nd
         # the coarsest solve must stay LINEAR so the V-cycle remains a valid
         # (fixed) CG preconditioner: dense solve if small enough, otherwise a

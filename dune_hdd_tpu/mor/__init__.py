@@ -6,6 +6,7 @@ from .greedy import (
     sample_randomly,
     sample_uniformly,
 )
+from .io import load_reduced_model, save_reduced_model
 from .reductor import RBReductor, ReducedModel
 
 __all__ = [
@@ -18,5 +19,7 @@ __all__ = [
     "sample_randomly",
     "sample_uniformly",
     "RBReductor",
+    "save_reduced_model",
+    "load_reduced_model",
     "ReducedModel",
 ]

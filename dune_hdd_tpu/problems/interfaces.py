@@ -74,6 +74,43 @@ class Problem:
             **{name: freeze(dec, name) for name, dec in self.entries().items()}
         )
 
+    # -- visualization (interfaces.hh:94-115, 146-165: every affine
+    # component of every data function separately) --------------------------
+    def visualize(self, grid, filename_prefix: str, mu=None) -> list:
+        """Write each data entry (and each affine component) as cell data on
+        the grid; returns the written paths."""
+        import numpy as np
+
+        from ..utils.vtk import write_cell_data_vtu
+
+        centroids = grid.cell_centroids
+        paths = []
+        for name, dec in self.entries().items():
+            fields = {}
+
+            def sample(fn, tag):
+                vals = np.asarray(fn(centroids))
+                if vals.ndim == 1:
+                    fields[tag] = vals
+                elif vals.ndim == 3:  # matrix-valued: store the diagonal
+                    fields[tag + "_00"] = vals[:, 0, 0]
+                    fields[tag + "_11"] = vals[:, 1, 1]
+                else:
+                    fields[tag] = vals.reshape(len(vals), -1)[:, 0]
+
+            if dec.affine_part is not None:
+                sample(dec.affine_part, f"{name}_affine_part")
+            for q in range(dec.num_components):
+                sample(dec.components[q], f"{name}_component_{q}")
+            if dec.parametric() and mu is not None:
+                from ..functions.base import FrozenAffineFunction
+
+                sample(FrozenAffineFunction(dec, self.parse_parameter(mu)), name)
+            paths.append(
+                write_cell_data_vtu(grid, fields, f"{filename_prefix}_{name}")
+            )
+        return paths
+
     # -- reporting ----------------------------------------------------------
     def type(self) -> str:
         return self.static_id

@@ -62,12 +62,23 @@ class OS2014MultiscaleTestCase(OS2014TestCase):
     def __init__(self, parameters: Mapping, num_partitions: Sequence[int] = (1, 1),
                  num_refinements: int = OS2014TestCase.default_num_refinements,
                  oversampling_layers: int = 0,
-                 grid_variant: str = "alu_conforming"):
+                 grid_variant: str = "alu_conforming",
+                 H_with_h: bool = False):
         super().__init__(parameters, num_refinements, grid_variant)
         self.num_partitions = tuple(int(n) for n in num_partitions)
         self.oversampling_layers = int(oversampling_layers)
+        self.H_with_h = bool(H_with_h)
+
+    def partitioning(self) -> str:
+        base = f"[{self.num_partitions[0]} {self.num_partitions[1]} 1]"
+        return base + ("_H_with_h" if self.H_with_h else "")
 
     def ms_grid(self, refinement: int) -> MultiscaleGrid:
+        parts = self.num_partitions
+        if self.H_with_h:
+            # partitions refine with the mesh: x 2^refinement
+            # (testcases/base.hh:174-177)
+            parts = tuple(p * 2**refinement for p in parts)
         return MultiscaleGrid(
-            self.level_grid(refinement), self.num_partitions, self.oversampling_layers
+            self.level_grid(refinement), parts, self.oversampling_layers
         )

@@ -150,3 +150,32 @@ def test_problems_provider():
     assert isinstance(p, ESV2007Problem)
     tb = ProblemsProvider.create("thermalblock", {"diffusion_factor": {"num_elements": [2, 2]}})
     assert tb.parameter_type["diffusion_factor"] == 4
+
+
+def test_problem_visualization(tmp_path):
+    import os
+
+    from dune_hdd_tpu.grid import rectangle_grid
+
+    p = ParametricESV2007Problem()
+    g = rectangle_grid((-1, -1), (1, 1), (4, 4), "triangle")
+    paths = p.visualize(g, str(tmp_path / "problem"), mu={"mu": 0.5})
+    assert len(paths) == 5  # one file per data entry
+    for path in paths:
+        assert os.path.isfile(path)
+    # the diffusion_factor file contains the affine part, component and frozen field
+    text = open(paths[0]).read()
+    assert "diffusion_factor_affine_part" in text
+    assert "diffusion_factor_component_0" in text
+
+
+def test_h_with_h_partitioning():
+    from dune_hdd_tpu.testcases import OS2014MultiscaleTestCase
+
+    tc = OS2014MultiscaleTestCase(
+        {"mu": 0.1, "mu_bar": 0.1, "mu_hat": 0.1, "mu_minimizing": 0.1},
+        num_partitions=(2, 2), num_refinements=1, H_with_h=True,
+    )
+    assert tc.partitioning() == "[2 2 1]_H_with_h"
+    assert tc.ms_grid(0).num_partitions == (2, 2)
+    assert tc.ms_grid(1).num_partitions == (4, 4)

@@ -88,3 +88,21 @@ def test_greedy_lrbms(tb_disc):
         nz = np.nonzero(row)[0]
         subdomains = {int(d.ms_grid.subdomain_of[i // 3]) for i in nz}
         assert len(subdomains) == 1
+
+
+def test_reduced_model_roundtrip(tb_disc, tmp_path):
+    from dune_hdd_tpu.mor import load_reduced_model, save_reduced_model
+
+    training = sample_randomly(tb_disc.parameter_type, 0.1, 1.0, 3, seed=11)
+    res = greedy_rb(tb_disc, training, target_error=1e-4, max_extensions=3)
+    path = save_reduced_model(res.reduced_model, str(tmp_path / "rb_model"))
+    rm2 = load_reduced_model(path)
+    mu = training[0]
+    np.testing.assert_allclose(
+        np.asarray(res.reduced_model.solve(mu)), np.asarray(rm2.solve(mu)), atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(rm2.reconstruct(rm2.solve(mu))),
+        np.asarray(res.reduced_model.reconstruct(res.reduced_model.solve(mu))),
+        atol=1e-12,
+    )
