@@ -105,6 +105,11 @@ class BlockSWIPDGDiscretization(StationaryDiscretization):
         self._couplings: Dict[Tuple[int, int], AffineDecomposition] = {}
         self._oversampled: Dict[Tuple[int, str], SWIPDGDiscretization] = {}
 
+    def uncached_solve(self, mu, options=None):
+        # route through the internal global SWIPDG discretization so the
+        # fast "block_cg" solver type is available here too
+        return self._global.uncached_solve(mu, options)
+
     # ------------------------------------------------------------------
     # LRBMS surface
     # ------------------------------------------------------------------

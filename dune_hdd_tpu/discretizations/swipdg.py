@@ -229,3 +229,67 @@ class SWIPDGDiscretization(StationaryDiscretization):
 
     def init(self):
         return self
+
+    def uncached_solve(self, mu, options=None):
+        """Adds the "block_cg[.jacobi]" solver type: the jitted block-ELL
+        path (symmetric diagonal scaling + block-Jacobi CG) — the fast
+        online solver for DG systems."""
+        opts = dict(options or {})
+        if str(opts.get("type", "")).startswith("block_cg"):
+            key = (float(opts.get("precision", 1e-10)), int(opts.get("max_iter", 10000)))
+            cache = self.__dict__.setdefault("_block_solvers", {})
+            if key not in cache:
+                cache[key] = self.make_solve_fn(tol=key[0], maxiter=key[1])
+            solve_fn, thetas = cache[key]
+            u, _res = solve_fn(*thetas(mu))
+            return u
+        return super().uncached_solve(mu, options)
+
+    def make_solve_fn(self, tol: float = 1e-8, maxiter: int = 2000,
+                      dtype=None):
+        """Jitted parametric online solver: theta vectors -> solution, via
+        block-ELL (the TPU fast path) with symmetric diagonal scaling and
+        block-Jacobi CG.  Use for many-query workflows (greedy training,
+        parameter sweeps):
+
+            solve_fn, thetas = disc.make_solve_fn()
+            u = solve_fn(*thetas(mu))
+        """
+        import jax
+
+        from ..la.block_ell import (
+            block_cg,
+            block_ell_from_sparse,
+            symmetric_diagonal_scaling,
+        )
+
+        op = self.get_operator().with_expanded_affine_part()
+        rhs = self.get_rhs().with_expanded_affine_part()
+        blocks = jnp.stack(
+            [block_ell_from_sparse(self.space, m).blocks for m in op.components]
+        )
+        neighbors = block_ell_from_sparse(self.space, op.components[0]).neighbors
+        rhs_stack = jnp.stack(list(rhs.components))
+        if dtype is not None:
+            blocks = blocks.astype(dtype)
+            rhs_stack = rhs_stack.astype(dtype)
+
+        from ..la.block_ell import BlockEllMatrix
+
+        @jax.jit
+        def solve_fn(theta_op, theta_rhs):
+            A = BlockEllMatrix(neighbors, jnp.einsum("q,qcbij->cbij", theta_op, blocks))
+            b = jnp.einsum("q,qn->n", theta_rhs, rhs_stack)
+            A_s, b_s, s = symmetric_diagonal_scaling(A, b)
+            u_s, res = block_cg(A_s, b_s, tol=tol, maxiter=maxiter)
+            return u_s * s, res
+
+        def thetas(mu):
+            mu = self.problem.parse_parameter(mu) if mu is not None else {}
+            t_op = jnp.stack([jnp.asarray(c(mu)) for c in op.coefficients])
+            t_rhs = jnp.stack([jnp.asarray(c(mu)) for c in rhs.coefficients])
+            if dtype is not None:
+                t_op, t_rhs = t_op.astype(dtype), t_rhs.astype(dtype)
+            return t_op, t_rhs
+
+        return solve_fn, thetas

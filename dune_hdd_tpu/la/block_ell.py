@@ -72,6 +72,47 @@ class BlockEllMatrix:
         return NotImplemented
 
 
+def block_ell_neighbors(grid) -> np.ndarray:
+    """[NC, 1+nfc] neighbor table (slot 0 = self, padded slots = self)."""
+    nc, nfc = grid.num_cells, grid.faces_per_cell
+    neighbors = np.tile(np.arange(nc, dtype=np.int32)[:, None], (1, 1 + nfc))
+    fi = np.nonzero(grid.interior_faces)[0]
+    cin, cout = grid.face_cells[fi, 0], grid.face_cells[fi, 1]
+    li, lo = grid.face_local[fi, 0], grid.face_local[fi, 1]
+    neighbors[cin, 1 + li] = cout
+    neighbors[cout, 1 + lo] = cin
+    return neighbors
+
+
+def block_ell_from_sparse(space, sparse_matrix) -> BlockEllMatrix:
+    """Convert a DG SparseMatrix (scalar ELL, cell-block sparsity) into
+    block-ELL layout.  The slot -> (cell, slot, i, j) map is static, so under
+    jit this is a single static gather of the value vector."""
+    grid = space.grid
+    nd = space.shape_count
+    neighbors = block_ell_neighbors(grid)
+    nc, B = neighbors.shape
+    p = sparse_matrix.pattern
+    # position of each slot: row = c*nd + i, col = n*nd + j; find b with
+    # neighbors[c, b] == n (pick the first match; self-couplings -> slot 0)
+    rows = p.slot_rows.astype(np.int64)
+    cols = p.slot_cols.astype(np.int64)
+    c, i = rows // nd, rows % nd
+    n, j = cols // nd, cols % nd
+    b = np.zeros(len(rows), dtype=np.int64)
+    found = np.zeros(len(rows), dtype=bool)
+    for bb in range(B):
+        match = (~found) & (neighbors[c, bb] == n) & ((bb == 0) == (c == n))
+        b[match] = bb
+        found |= match
+    if not found.all():
+        raise ValueError("sparse matrix does not fit the cell-neighbour stencil")
+    flat = ((c * B + b) * nd + i) * nd + j
+    blocks = jnp.zeros(nc * B * nd * nd, dtype=sparse_matrix.values.dtype)
+    blocks = blocks.at[jnp.asarray(flat)].set(sparse_matrix.values)
+    return BlockEllMatrix(neighbors, blocks.reshape(nc, B, nd, nd))
+
+
 def build_block_ell(
     space: Space,
     vol_local: jnp.ndarray,  # [NC, nd, nd]

@@ -27,10 +27,11 @@ _REQUIRED = {
 }
 
 
-def _spe10_hierarchy(grid_variant: str, num_refinements: int):
+def _spe10_hierarchy(grid_variant: str, num_refinements: int,
+                     num_elements=(100, 20)):
     initial = 1 if grid_variant == "alu_conforming" else 0
     return make_cube_hierarchy(
-        (0.0, 0.0), (5.0, 1.0), (100, 20), grid_variant,
+        (0.0, 0.0), (5.0, 1.0), num_elements, grid_variant,
         initial_refinements=initial, num_levels=num_refinements + 1,
     )
 
@@ -41,11 +42,12 @@ class Spe10Model1TestCase(TestCaseBase):
     parameter_range = (0.1, 1.0)
 
     def __init__(self, num_refinements: int = default_num_refinements,
-                 grid_variant: str = "alu_conforming", filename: str = "perm_case1.dat"):
+                 grid_variant: str = "alu_conforming", filename: str = "perm_case1.dat",
+                 num_elements=(100, 20)):
         self.grid_variant = grid_variant
         super().__init__(
             problem=Spe10Model1Problem(filename=filename),
-            hierarchy=_spe10_hierarchy(grid_variant, num_refinements),
+            hierarchy=_spe10_hierarchy(grid_variant, num_refinements, num_elements),
             boundary_info_cfg={"type": "stuff.grid.boundaryinfo.alldirichlet"},
             exact_solution=None,
             num_refinements=num_refinements,

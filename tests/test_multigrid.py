@@ -89,3 +89,32 @@ def test_vcycle_alone_converges():
         x = x + h.v_cycle(r)
     rel = float(jnp.linalg.norm(b - A.matvec(x)) / jnp.linalg.norm(b))
     assert rel < 1e-4  # rho ~ 0.6 per cycle -> ~4e-5 after 20
+
+
+def test_block_ell_from_sparse_and_solve_fn():
+    """Scalar-ELL -> block-ELL conversion and the jitted online solve path
+    agree with the direct solver."""
+    import jax.numpy as jnp
+
+    from dune_hdd_tpu.discretizations import SWIPDGDiscretization
+    from dune_hdd_tpu.la.block_ell import block_ell_from_sparse
+    from dune_hdd_tpu.problems import ThermalblockProblem
+    from dune_hdd_tpu.grid import alu_cube_grid
+
+    grid = alu_cube_grid((0, 0), (1, 1), (4, 4), refinements=2)
+    d = SWIPDGDiscretization(
+        grid, {"type": "stuff.grid.boundaryinfo.alldirichlet"},
+        ThermalblockProblem((2, 2)), only_these_products=(),
+    )
+    mu = {"diffusion_factor": jnp.array([0.1, 1.0, 0.5, 2.0])}
+    A = d.freeze_operator(mu)
+    Ab = block_ell_from_sparse(d.space, A)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=d.space.num_dofs))
+    np.testing.assert_allclose(np.asarray(Ab.matvec(x)), np.asarray(A.matvec(x)), atol=1e-10)
+
+    solve_fn, thetas = d.make_solve_fn(tol=1e-12, maxiter=5000)
+    u, res = solve_fn(*thetas(mu))
+    u_ref = d.solve(mu, options={"type": "direct"})
+    assert float(res) < 1e-10
+    np.testing.assert_allclose(np.asarray(u), np.asarray(u_ref), atol=1e-8)
