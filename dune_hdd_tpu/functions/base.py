@@ -144,8 +144,10 @@ class LambdaFunction(Function):
 
 
 class IndicatorFunction(Function):
-    """Sum of value_k * 1_{[lower_k, upper_k]}(x) — Stuff::Functions::Indicator
-    (SPE10 forces, spe10.hh:141; LocalThermalblock regions, thermalblock.hh:203-219)."""
+    """Sum of value_k * 1_{[lower_k, upper_k)}(x) — Stuff::Functions::Indicator
+    (SPE10 forces, spe10.hh:141; LocalThermalblock regions, thermalblock.hh:203-219).
+    Boxes are HALF-OPEN so adjacent boxes sharing an edge (the SPE10 channel
+    segments) never double-count at quadrature points on the shared line."""
 
     def __init__(self, subdomains: Sequence[Tuple[Sequence[float], Sequence[float], float]],
                  name: str = "indicator"):
@@ -159,7 +161,7 @@ class IndicatorFunction(Function):
     def __call__(self, x):
         # x: [..., 2]; boxes: [K, 2]
         xe = x[..., None, :]
-        inside = jnp.all((xe >= self.lowers) & (xe <= self.uppers), axis=-1)
+        inside = jnp.all((xe >= self.lowers) & (xe < self.uppers), axis=-1)
         return jnp.sum(jnp.where(inside, self.values, 0.0), axis=-1)
 
 
