@@ -66,9 +66,20 @@ class CGDiscretization(StationaryDiscretization):
         space = cg_space(grid, order)
         products_wanted = tuple(only_these_products) if only_these_products is not None else _ALL_PRODUCTS
 
-        dir_vert = boundary_info.dirichlet_vertices
+        # nodal structure: vertices (order 1) or vertices + edge midpoints
+        # (order 2); the dirichlet mask covers all boundary nodal dofs
+        if order == 2:
+            dir_vert = np.concatenate(
+                [boundary_info.dirichlet_vertices, boundary_info.dirichlet_faces]
+            )
+            nodal_points = jnp.asarray(
+                np.concatenate([grid.vertices, grid.face_centroids], axis=0)
+            )
+        else:
+            dir_vert = boundary_info.dirichlet_vertices
+            nodal_points = jnp.asarray(grid.vertices)
         dir_mask = jnp.asarray(dir_vert)
-        vertices = jnp.asarray(grid.vertices)
+        vertices = nodal_points
         pattern = volume_pattern(space)
 
         # -- dirichlet projection per affine dirichlet component (cg.hh:193-221)

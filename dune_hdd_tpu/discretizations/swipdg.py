@@ -99,20 +99,25 @@ class SWIPDGDiscretization(StationaryDiscretization):
         pattern = swipdg_pattern(space, interior, dirichlet)
 
         # -- operator: per diffusion pair, volume + face blocks ------------
+        # (phase timings mirror the reference's "assembling... done (took Xs)"
+        # lines, discreteproblem.hh:117-126 / cg.hh:180-334)
+        from ..utils.logging import timed
+
         operator = AffineDecomposition()
         pairs = diffusion_pairs(problem)
-        for (lam_fn, kap_fn), coef in _parts(pairs):
-            vol = elliptic_cell_matrices(space, lam_fn, kap_fn)
-            ib, bb = swipdg_face_blocks(
-                space, lam_fn, kap_fn, interior, dirichlet,
-                weight_lam_fn=wlam, weight_kap_fn=wkap,
-                sigma_i=self.sigma_inner, sigma_b=self.sigma_boundary, beta=self.beta,
-            )
-            mat = assemble_swipdg_matrix(space, vol, ib, bb, pattern)
-            if coef is None:
-                operator.register_affine_part(mat)
-            else:
-                operator.register_component(mat, coef)
+        with timed("swipdg.assemble_operator"):
+            for (lam_fn, kap_fn), coef in _parts(pairs):
+                vol = elliptic_cell_matrices(space, lam_fn, kap_fn)
+                ib, bb = swipdg_face_blocks(
+                    space, lam_fn, kap_fn, interior, dirichlet,
+                    weight_lam_fn=wlam, weight_kap_fn=wkap,
+                    sigma_i=self.sigma_inner, sigma_b=self.sigma_boundary, beta=self.beta,
+                )
+                mat = assemble_swipdg_matrix(space, vol, ib, bb, pattern)
+                if coef is None:
+                    operator.register_affine_part(mat)
+                else:
+                    operator.register_component(mat, coef)
         if operator.affine_part is None:
             operator.register_affine_part(SparseMatrix(pattern, jnp.zeros(pattern.nnz)))
 

@@ -194,6 +194,20 @@ class BlockSWIPDGEstimators:
         return float(jnp.sqrt(jnp.sum(vals)))
 
     @classmethod
+    def visualize(cls, block_disc, u, type_, filename: str,
+                  parameters: Optional[Dict] = None) -> str:
+        """Write the per-subdomain indicators as a subdomain-constant cell
+        field (reference: visualize_indicators,
+        test/linearelliptic-block-swipdg.hh:340-359)."""
+        from ..utils.vtk import write_cell_data_vtu
+
+        ind = cls.estimate_local(block_disc, u, type_, parameters)
+        cell_field = ind[block_disc.ms_grid.subdomain_of]
+        return write_cell_data_vtu(
+            block_disc.ms_grid.grid, {type_: cell_field}, filename
+        )
+
+    @classmethod
     def estimate_local(cls, block_disc, u, type_, parameters: Optional[Dict] = None) -> np.ndarray:
         """Per-subdomain indicators (block-swipdg.hh:854-890): for the
         combined types, 3/sqrt(alpha) (sqrt(gamma) nc_T^2 + r_T^2 +

@@ -21,6 +21,9 @@ __all__ = ["solver_types", "solver_options", "solve", "make_preconditioner"]
 
 _DEFAULT_OPTS = {
     "direct": {"type": "direct"},
+    # handled by the DG discretizations (block-ELL fast path); listed here so
+    # solver_options() documents it
+    "block_cg.jacobi": {"type": "block_cg.jacobi", "max_iter": 10000, "precision": 1e-10},
     "cg": {"type": "cg", "max_iter": 10000, "precision": 1e-10},
     "cg.jacobi": {"type": "cg.jacobi", "max_iter": 10000, "precision": 1e-10},
     "bicgstab": {"type": "bicgstab", "max_iter": 10000, "precision": 1e-10},
@@ -33,7 +36,8 @@ _DEFAULT_OPTS = {
 def solver_types() -> List[str]:
     """Available solver ids; first entry is the default (mirrors
     Stuff::LA::Solver::types())."""
-    return ["bicgstab.jacobi", "cg.jacobi", "cg", "bicgstab", "gmres.jacobi", "gmres", "direct"]
+    return ["bicgstab.jacobi", "cg.jacobi", "cg", "bicgstab", "gmres.jacobi",
+            "gmres", "direct", "block_cg.jacobi"]
 
 
 def solver_options(type_: Optional[str] = None) -> Dict:

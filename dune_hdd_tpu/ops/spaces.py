@@ -32,34 +32,59 @@ class Space:
     # which the SGrid expectation tables were recorded with)
 
     def __post_init__(self):
-        if self.order != 1:
-            raise NotImplementedError("only order 1 implemented so far")
-        if self.basis == "p1" and self.continuous:
-            raise ValueError("monomial p1 basis is DG-only")
+        if self.order not in (1, 2):
+            raise NotImplementedError("orders 1 and 2 implemented")
+        if self.order == 2 and self.grid.cell_type != TRIANGLE:
+            raise NotImplementedError("order 2 is triangle-only")
+        if self.basis == "p1" and (self.continuous or self.order != 1):
+            raise ValueError("monomial p1 basis is order-1 DG-only")
 
     @property
     def shape_count(self) -> int:
         """Local shape functions per cell."""
         if self.basis == "p1":
             return 3
+        if self.order == 2:
+            return 6  # P2 triangle: 3 vertices + 3 edge midpoints
         return self.grid.vertices_per_cell
 
     @property
     def num_dofs(self) -> int:
         if self.continuous:
+            if self.order == 2:
+                return self.grid.num_vertices + self.grid.num_faces
             return self.grid.num_vertices
         return self.grid.num_cells * self.shape_count
 
     @cached_property
     def cell_dofs(self) -> np.ndarray:
-        """[NC, nd] global DoF indices."""
+        """[NC, nd] global DoF indices.
+
+        P2 local node order: (v0, v1, v2, e01, e12, e20) — edge nodes follow
+        the local face numbering (f0=(v0,v1), f1=(v1,v2), f2=(v2,v0))."""
         if self.continuous:
+            if self.order == 2:
+                edge = self.grid.num_vertices + self.grid.cell_faces.astype(np.int64)
+                return np.concatenate(
+                    [self.grid.cells.astype(np.int64), edge], axis=1
+                ).astype(np.int32)
             return self.grid.cells.astype(np.int32)
         nd = self.shape_count
         return (
             np.arange(self.grid.num_cells, dtype=np.int32)[:, None] * nd
             + np.arange(nd, dtype=np.int32)[None, :]
         )
+
+    @cached_property
+    def nodal_points(self) -> np.ndarray:
+        """[NC, nd, 2] physical positions of the local (nodal) basis points."""
+        v = self.grid.cell_vertices
+        if self.basis == "p1":
+            raise NotImplementedError("monomial basis has no nodal points")
+        if self.order == 1:
+            return v
+        mid = 0.5 * (v + np.roll(v, -1, axis=1))  # e01, e12, e20
+        return np.concatenate([v, mid], axis=1)
 
     # -- batched shape evaluation (jnp) ------------------------------------
     # cellverts: [..., nvc, 2]; x: [..., k, 2] physical points inside the cell
@@ -68,7 +93,10 @@ class Space:
         if self.basis == "p1" and self.grid.cell_type == QUAD:
             return _p1_monomial_values(cellverts, x)
         if self.grid.cell_type == TRIANGLE:
-            return _tri_shape_values(cellverts, x)
+            lam = _tri_shape_values(cellverts, x)
+            if self.order == 2:
+                return _tri_p2_values(lam)
+            return lam
         return _quad_shape_values(cellverts, x)
 
     def shape_gradients(self, cellverts: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
@@ -77,6 +105,9 @@ class Space:
             return _p1_monomial_grads(cellverts, x)
         if self.grid.cell_type == TRIANGLE:
             g = _tri_shape_grads(cellverts)  # [..., 3, 2], constant in x
+            if self.order == 2:
+                lam = _tri_shape_values(cellverts, x)
+                return _tri_p2_grads(lam, g)
             return jnp.broadcast_to(
                 g[..., None, :, :], x.shape[:-1] + g.shape[-2:]
             )
@@ -134,6 +165,34 @@ def _tri_shape_grads(cellverts):
     g2 = jnp.stack([-e1[..., 1], e1[..., 0]], axis=-1) / det
     g0 = -g1 - g2
     return jnp.stack([g0, g1, g2], axis=-2)
+
+
+def _tri_p2_values(lam):
+    """P2 basis from barycentric coordinates lam [..., k, 3]:
+    vertex i: lam_i (2 lam_i - 1); edge (a,b): 4 lam_a lam_b."""
+    l0, l1, l2 = lam[..., 0], lam[..., 1], lam[..., 2]
+    return jnp.stack(
+        [
+            l0 * (2 * l0 - 1), l1 * (2 * l1 - 1), l2 * (2 * l2 - 1),
+            4 * l0 * l1, 4 * l1 * l2, 4 * l2 * l0,
+        ],
+        axis=-1,
+    )
+
+
+def _tri_p2_grads(lam, g):
+    """P2 physical gradients: lam [..., k, 3], g [..., 3, 2] (constant
+    barycentric gradients) -> [..., k, 6, 2]."""
+    gb = g[..., None, :, :]  # [..., 1, 3, 2]
+    l = lam[..., None]  # [..., k, 3, 1]
+    vertex = (4 * l - 1) * gb  # [..., k, 3, 2]
+    g0, g1, g2 = gb[..., 0, :], gb[..., 1, :], gb[..., 2, :]
+    l0, l1, l2 = l[..., 0, :], l[..., 1, :], l[..., 2, :]
+    e01 = 4 * (l0 * g1 + l1 * g0)
+    e12 = 4 * (l1 * g2 + l2 * g1)
+    e20 = 4 * (l2 * g0 + l0 * g2)
+    edges = jnp.stack([e01, e12, e20], axis=-2)
+    return jnp.concatenate([vertex, edges], axis=-2)
 
 
 def _p1_monomial_values(cellverts, x):

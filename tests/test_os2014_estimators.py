@@ -66,3 +66,14 @@ def test_unknown_type_rejected():
     u = d.solve(options={"type": "direct"})
     with pytest.raises(ValueError):
         BlockSWIPDGEstimators.estimate(d, u, "eta_bogus")
+
+
+def test_indicator_visualization(tmp_path):
+    import os
+
+    g = alu_cube_grid((-1, -1), (1, 1), (4, 4), refinements=2)
+    d = BlockSWIPDGDiscretization(g, BI, ESV2007Problem(), num_partitions=(2, 2))
+    u = d.solve(options={"type": "direct"})
+    path = BlockSWIPDGEstimators.visualize(d, u, "eta_OS2014", str(tmp_path / "ind"))
+    assert os.path.isfile(path)
+    assert "eta_OS2014" in open(path).read()
