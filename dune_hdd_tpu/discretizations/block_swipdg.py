@@ -286,6 +286,21 @@ class BlockSWIPDGDiscretization(StationaryDiscretization):
             self._oversampled[key] = disc
         return self._oversampled[key]
 
+    def as_sharded(self, mesh=None, dtype=None):
+        """Lay the affine system out on a device mesh (parallel/sharded.py):
+        the subdomain axis becomes the "domain" mesh axis — the TPU execution
+        of the reference's (sequential) domain decomposition."""
+        import jax.numpy as jnp
+
+        from ..parallel.sharded import ShardedAffineSystem, make_device_mesh
+
+        if mesh is None:
+            mesh = make_device_mesh()
+        return ShardedAffineSystem(
+            self.get_operator(), self.get_rhs(), mesh,
+            dtype=dtype or jnp.result_type(float),
+        )
+
     def solve_for_local_correction(self, ss: int, local_vectors, mu=None):
         """Online enrichment — disabled in the reference by a guard throw
         (block-swipdg.hh:696); same here until validated."""

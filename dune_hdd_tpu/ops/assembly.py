@@ -42,8 +42,28 @@ __all__ = [
 ]
 
 
+def _cacheable(*arrays) -> bool:
+    """Only cache concrete arrays — inside a jit trace the same computation
+    yields tracers, and stashing those leaks them across traces."""
+    import jax.core
+
+    return not any(isinstance(a, jax.core.Tracer) for a in arrays)
+
+
 def cell_quadrature(grid: Grid, order: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Physical quadrature: points [NC, k, 2], weights [NC, k] (incl. |J|)."""
+    """Physical quadrature: points [NC, k, 2], weights [NC, k] (incl. |J|).
+    Cached per (grid, order) — shared by every affine component's kernel."""
+    key = ("_cell_quadrature", int(order))
+    cached = grid.__dict__.get(key)
+    if cached is not None:
+        return cached
+    out = _cell_quadrature_impl(grid, order)
+    if _cacheable(*out):
+        grid.__dict__[key] = out
+    return out
+
+
+def _cell_quadrature_impl(grid: Grid, order: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     verts = jnp.asarray(grid.cell_vertices)
     if grid.cell_type == TRIANGLE:
         ref, w = tri_rule(order)
@@ -90,6 +110,32 @@ def face_quadrature(
 # -- local (per-cell) kernels ----------------------------------------------
 
 
+def cell_shape_values(space: Space, qorder: int) -> jnp.ndarray:
+    """[NC, k, nd] basis values at the cell quadrature points (cached)."""
+    key = ("_cell_shape_values", int(qorder))
+    cached = space.__dict__.get(key)
+    if cached is not None:
+        return cached
+    qp, _ = cell_quadrature(space.grid, qorder)
+    out = space.shape_values(jnp.asarray(space.grid.cell_vertices), qp)
+    if _cacheable(out):
+        space.__dict__[key] = out
+    return out
+
+
+def cell_shape_gradients(space: Space, qorder: int) -> jnp.ndarray:
+    """[NC, k, nd, 2] basis gradients at the cell quadrature points (cached)."""
+    key = ("_cell_shape_gradients", int(qorder))
+    cached = space.__dict__.get(key)
+    if cached is not None:
+        return cached
+    qp, _ = cell_quadrature(space.grid, qorder)
+    out = space.shape_gradients(jnp.asarray(space.grid.cell_vertices), qp)
+    if _cacheable(out):
+        space.__dict__[key] = out
+    return out
+
+
 def elliptic_cell_matrices(
     space: Space,
     diffusion_factor: Function,
@@ -101,8 +147,7 @@ def elliptic_cell_matrices(
     grid = space.grid
     qorder = order if order is not None else diffusion_factor.order + diffusion_tensor.order + 2 * (space.order - 1) + 2
     qp, qw = cell_quadrature(grid, qorder)
-    verts = jnp.asarray(grid.cell_vertices)
-    grads = space.shape_gradients(verts, qp)  # [NC, k, nd, 2]
+    grads = cell_shape_gradients(space, qorder)  # [NC, k, nd, 2]
     lam = diffusion_factor(qp)  # [NC, k]
     kap = diffusion_tensor(qp)  # [NC, k, 2, 2]
     flux = jnp.einsum("ckab,ckjb->ckja", kap, grads)
@@ -117,8 +162,7 @@ def l2_cell_matrices(
     worder = weight.order if weight is not None else 0
     qorder = order if order is not None else 2 * space.order + worder
     qp, qw = cell_quadrature(grid, qorder)
-    verts = jnp.asarray(grid.cell_vertices)
-    vals = space.shape_values(verts, qp)  # [NC, k, nd]
+    vals = cell_shape_values(space, qorder)  # [NC, k, nd]
     wq = qw * weight(qp) if weight is not None else qw
     return jnp.einsum("ck,cki,ckj->cij", wq, vals, vals)
 
@@ -128,8 +172,7 @@ def force_cell_vectors(space: Space, f: Function, order: Optional[int] = None) -
     grid = space.grid
     qorder = order if order is not None else f.order + space.order + 1
     qp, qw = cell_quadrature(grid, qorder)
-    verts = jnp.asarray(grid.cell_vertices)
-    vals = space.shape_values(verts, qp)
+    vals = cell_shape_values(space, qorder)
     return jnp.einsum("ck,cki->ci", qw * f(qp), vals)
 
 

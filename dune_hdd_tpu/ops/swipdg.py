@@ -85,16 +85,32 @@ def _face_geometry(grid: Grid, face_ids: np.ndarray, qorder: int):
     return qp, qw, n, h
 
 
+def _side_shapes(space: Space, cells: np.ndarray, qp: jnp.ndarray):
+    """(vals [F,k,nd], grads [F,k,nd,2], centroids [F,2]) for one face side —
+    coefficient-independent, cached per (space, face side, #points)."""
+    grid = space.grid
+    key = ("_side_shapes", hash(cells.tobytes()), int(qp.shape[1]))
+    cached = space.__dict__.get(key)
+    if cached is not None:
+        return cached
+    verts = jnp.asarray(grid.cell_vertices[cells])
+    cent = jnp.asarray(grid.cell_centroids[cells])
+    vals = space.shape_values(verts, qp)
+    grads = space.shape_gradients(verts, qp)
+    out = (vals, grads, cent)
+    import jax.core
+
+    if not any(isinstance(a, jax.core.Tracer) for a in out):
+        space.__dict__[key] = out
+    return out
+
+
 def _side_quantities(space: Space, cells: np.ndarray, qp: jnp.ndarray,
                      lam_fn: Function, kap_fn: Function,
                      wlam_fn: Function, wkap_fn: Function, n: jnp.ndarray):
     """Per-side arrays: shape values [F,k,nd], normal flux of basis
     (tau grad phi).n [F,k,nd], delta = n.(tau_w n) [F,k]."""
-    grid = space.grid
-    verts = jnp.asarray(grid.cell_vertices[cells])
-    cent = jnp.asarray(grid.cell_centroids[cells])
-    vals = space.shape_values(verts, qp)
-    grads = space.shape_gradients(verts, qp)
+    vals, grads, cent = _side_shapes(space, cells, qp)
     lam = _side_eval(lam_fn, qp, cent)
     kap = _side_eval(kap_fn, qp, cent)
     tau_grad = lam[..., None, None] * jnp.einsum("fkab,fkib->fkia", kap, grads)
