@@ -63,10 +63,68 @@ record("ESV2007", "alu_conforming", 1, {
 # SWIPDG, ESV2007, polOrder 1, quad ("cube"/SGrid) — RECORDED with this
 # framework (Q1 nodal DG).  The reference's SGrid table
 # (..._esv2007_2dsgrid.cxx: L2 1.13e-02...) could not be reproduced by Q1 or
-# total-degree-P1 DG with the documented SWIPDG form; our Q1 values converge
-# at the correct rates and are regression-locked here.
+# total-degree-P1 DG with the documented SWIPDG form (no penalty value in
+# [2, 100] reproduces it either); our Q1 values converge at the correct
+# rates and are regression-locked here.
 record("ESV2007", "cube", 1, {
     "L2": [1.49680e-02, 3.78525e-03, 9.49301e-04, 2.37627e-04],
     "H1_semi": [2.52014e-01, 1.25951e-01, 6.29625e-02, 3.14787e-02],
     "energy": [2.52014e-01, 1.25951e-01, 6.29625e-02, 3.14787e-02],
+})
+
+# ---------------------------------------------------------------------------
+# BlockSWIPDG, ESV2007Multiscale, polOrder 1, ALU-conforming, by partitioning
+# — REFERENCE values (test/linearelliptic-block-swipdg-expectations_esv2007_
+# 2daluconform.cxx:33-137), reproduced to <=0.5%.  L2/H1/energy coincide with
+# the single-domain table for every partitioning (same global space).
+for _part, _values in {
+    "[1 1 1]": {
+        "eta_R_OS2014": [5.79e-01, 2.90e-01, 1.45e-01, 7.27e-02],
+        "eta_OS2014": [1.10, 5.45e-01, 2.72e-01, 1.36e-01],
+        "eff_OS2014": [3.35, 3.37, 3.38, 3.39],
+    },
+    "[2 2 1]": {
+        "eta_R_OS2014": [2.89e-01, 1.45e-01, 7.27e-02, 3.63e-02],
+        "eta_OS2014": [8.10e-01, 4.00e-01, 1.99e-01, 9.94e-02],
+        "eff_OS2014": [2.47, 2.47, 2.48, 2.48],
+    },
+    "[4 4 1]": {
+        "eta_R_OS2014": [1.45e-01, 7.26e-02, 3.63e-02, 1.82e-02],
+        "eta_OS2014": [6.65e-01, 3.27e-01, 1.63e-01, 8.12e-02],
+        "eff_OS2014": [2.03, 2.02, 2.02, 2.03],
+    },
+    "[8 8 1]": {
+        "eta_R_OS2014": [7.23e-02, 3.63e-02, 1.82e-02, 9.09e-03],
+        "eta_OS2014": [5.93e-01, 2.91e-01, 1.45e-01, 7.21e-02],
+        "eff_OS2014": [1.81, 1.80, 1.80, 1.80],
+    },
+}.items():
+    record(f"ESV2007Multiscale.{_part}", "alu_conforming", 1, _values)
+
+# Common to all partitionings (BASELINE.md):
+for _part in ("[1 1 1]", "[2 2 1]", "[4 4 1]", "[8 8 1]"):
+    record(f"ESV2007Multiscale.{_part}", "alu_conforming", 1, {
+        "eta_NC_OS2014": [1.66e-01, 7.89e-02, 3.91e-02, 1.95e-02],
+        "eta_DF_OS2014": [3.55e-01, 1.76e-01, 8.73e-02, 4.35e-02],
+        "eta_DF_OS2014_*": [3.55e-01, 1.76e-01, 8.73e-02, 4.35e-02],
+    })
+
+# ---------------------------------------------------------------------------
+# BlockSWIPDG, OS2014 parametric, [4 4 1] — RECORDED with this framework
+# (penalty_mu deviation, see docs/DESIGN.md; within 1-10% of the reference
+# parametric tables, .._os2014_2daluconform.cxx:95-190).
+record("OS2014.block.[4 4 1].mu0.1_bar0.1_hat0.1", "alu_conforming", 1, {
+    "eta_DF_OS2014": [1.28517, 0.724479],
+    "eta_DF_OS2014_*": [1.28517, 0.724479],
+    "eta_OS2014": [1.95683, 1.11240],
+})
+record("OS2014.block.[4 4 1].mu1_bar1_hat0.1", "alu_conforming", 1, {
+    "eta_DF_OS2014": [1.33805, 1.32770],
+    "eta_DF_OS2014_*": [0.406694, 0.205217],
+    "eta_OS2014": [4.58922, 4.37849],
+})
+record("OS2014.block.[4 4 1].mu0.1_bar0.1_hat1", "alu_conforming", 1, {
+    "eta_DF_OS2014": [1.14028, 1.25066],
+    "eta_DF_OS2014_*": [1.24927, 0.703152],
+    "eta_OS2014": [4.27754, 4.34285],
 })
