@@ -167,7 +167,14 @@ def inv3x3(m: jnp.ndarray) -> jnp.ndarray:
         ],
         axis=-2,
     )
-    return adj / det[..., None, None]
+    # det-safe: near-singular blocks (f32 high-contrast coarse operators)
+    # fall back to a diagonally-scaled identity instead of producing inf/nan
+    scale = jnp.maximum(jnp.abs(m).max(axis=(-2, -1)), 1e-30)
+    tiny = jnp.abs(det) < 1e-12 * scale**3
+    safe_det = jnp.where(tiny, 1.0, det)
+    inv = adj / safe_det[..., None, None]
+    fallback = jnp.eye(3, dtype=m.dtype) / scale[..., None, None]
+    return jnp.where(tiny[..., None, None], fallback, inv)
 
 
 def _block_inverse(blocks: jnp.ndarray) -> jnp.ndarray:

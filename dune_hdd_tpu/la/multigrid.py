@@ -120,8 +120,28 @@ class MultigridHierarchy:
             prol = build_dg_prolongation(coarse_g, fine_g, space_f)
             self.prolongations.append(prol)
             self.matrices.append(galerkin_rap(self.matrices[-1], prol, space_c))
+        self.omegas: List[jnp.ndarray] = []
         for A in self.matrices:
-            self.smoother_inv.append(_block_inverse(A.diagonal_blocks()))
+            inv = _block_inverse(A.diagonal_blocks())
+            self.smoother_inv.append(inv)
+            # damped block-Jacobi is stable for omega < 2 / rho(D^-1 A);
+            # estimate rho with a few power iterations (high-contrast spectra
+            # exceed the Laplace-calibrated fixed omega)
+            nd = A.nd
+            v = jnp.ones(A.num_cells * nd, dtype=A.blocks.dtype)
+
+            def dinv_a(x):
+                y = A.matvec(x)
+                return jnp.einsum("cij,cj->ci", inv, y.reshape(-1, nd)).reshape(-1)
+
+            rho = jnp.asarray(1.0, dtype=A.blocks.dtype)
+            for _ in range(12):
+                w = dinv_a(v)
+                rho = jnp.linalg.norm(w) / jnp.maximum(jnp.linalg.norm(v), 1e-30)
+                v = w / jnp.maximum(jnp.linalg.norm(w), 1e-30)
+            # target ~0.7 * (2/rho): inside the stability window with good
+            # high-frequency damping; never exceed the user omega
+            self.omegas.append(jnp.minimum(omega, 1.4 / jnp.maximum(rho, 1e-6)))
         n_coarse = self.matrices[-1].num_cells * self.matrices[-1].nd
         # the coarsest solve must stay LINEAR so the V-cycle remains a valid
         # (fixed) CG preconditioner: dense solve if small enough, otherwise a
@@ -133,12 +153,13 @@ class MultigridHierarchy:
 
     def _smooth(self, lvl, A, x, b, iterations):
         inv = self.smoother_inv[lvl]
+        omega = self.omegas[lvl]
         nd = A.nd
 
         def body(_, x):
             r = b - A.matvec(x)
             dx = jnp.einsum("cij,cj->ci", inv, r.reshape(-1, nd)).reshape(-1)
-            return x + self.omega * dx
+            return x + omega * dx
 
         return jax.lax.fori_loop(0, iterations, body, x)
 
