@@ -169,6 +169,14 @@ class SparseMatrix:
 
     __matmul__ = matvec
 
+    def matmat(self, X: jnp.ndarray) -> jnp.ndarray:
+        """A @ X for X [N, K] — one row gather amortised over K columns
+        (use for multi-vector workloads: RB projections, power iterations)."""
+        p = self.pattern
+        ell_vals = p.ell_values(self.values)
+        gathered = X[p._jnp_ell_cols]  # [N, Kell, K]
+        return jnp.einsum("nk,nkK->nK", ell_vals, gathered)
+
     def diagonal(self) -> jnp.ndarray:
         p = self.pattern
         d = jnp.where(

@@ -68,11 +68,10 @@ class RBReductor:
         op = d.get_operator().with_expanded_affine_part()
         rhs = d.get_rhs().with_expanded_affine_part()
         if basis.shape[0]:
-            # [q, i, j] = b_i . (A_q b_j): apply each component to the basis
-            # once, then one dense matmul
-            op_mats = jnp.stack(
-                [basis @ jnp.stack([m.matvec(bj) for bj in basis]).T for m in op.components]
-            )
+            # [q, i, j] = b_i . (A_q b_j): one batched matmat per component
+            # (row gather amortised over the basis columns), then dense matmul
+            BT = basis.T  # [N, n]
+            op_mats = jnp.stack([basis @ m.matmat(BT) for m in op.components])
         else:
             op_mats = jnp.zeros((op.num_components, 0, 0))
         rhs_vecs = jnp.stack([basis @ v for v in rhs.components]) if basis.shape[0] else jnp.zeros((rhs.num_components, 0))

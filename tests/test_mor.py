@@ -106,3 +106,16 @@ def test_reduced_model_roundtrip(tb_disc, tmp_path):
         np.asarray(res.reduced_model.reconstruct(res.reduced_model.solve(mu))),
         atol=1e-12,
     )
+
+
+def test_matmat_consistency(tb_disc):
+    import jax.numpy as jnp
+
+    A = tb_disc.freeze_operator({"diffusion_factor": jnp.ones(4)})
+    rng = np.random.default_rng(7)
+    X = jnp.asarray(rng.normal(size=(tb_disc.space.num_dofs, 3)))
+    Y = A.matmat(X)
+    for k in range(3):
+        np.testing.assert_allclose(
+            np.asarray(Y[:, k]), np.asarray(A.matvec(X[:, k])), atol=1e-10
+        )
