@@ -14,9 +14,21 @@ def main():
 
     bisections = int(os.environ.get("BENCH_BISECTIONS", "4"))
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
+    mode = os.environ.get("BENCH_MODE", "throughput")
     from dune_hdd_tpu.bench_harness import run_spe10_bench
 
-    result = run_spe10_bench(bisections=bisections, repeats=repeats)
+    if mode == "converged":
+        # f64 solve-to-tolerance (measured 9.7e-7 at 48k DoF in 6.6s on the
+        # v5e chip); smaller default size to keep the run bounded
+        import jax.numpy as jnp
+
+        jax.config.update("jax_enable_x64", True)
+        result = run_spe10_bench(
+            bisections=min(bisections, 2), repeats=repeats, maxiter=4000,
+            tol=1e-6, dtype=jnp.float64,
+        )
+    else:
+        result = run_spe10_bench(bisections=bisections, repeats=repeats)
     out = {
         # round-1 metric: full pipeline throughput — f32 assembly + 300
         # block-Jacobi CG iterations on the scaled system.  The 1e6-contrast

@@ -56,8 +56,19 @@ class _ExampleBase:
 
     @classmethod
     def write_config_file(cls, filename: Optional[str] = None) -> str:
+        """Write the annotated default config, enumerating the registered
+        grid/boundary/problem providers like DiscreteProblem::write_config
+        (discreteproblem.hh:63-83)."""
         filename = filename or (cls.static_id() + ".cfg")
-        cls.write_config().write(filename)
+        header = (
+            f"# default configuration for {cls.static_id()}\n"
+            f"# available grid types: {', '.join(GridProviders.available())}\n"
+            "# available boundary info types: alldirichlet, allneumann, normalbased\n"
+            f"# available problem types:\n"
+            + "".join(f"#   {t}\n" for t in ProblemsProvider.available())
+        )
+        with open(filename, "w") as fh:
+            fh.write(header + "\n" + cls.write_config().to_string())
         return filename
 
     def __init__(self):
