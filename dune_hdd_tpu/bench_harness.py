@@ -17,20 +17,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-import numpy as np
 
-from .discretizations import SWIPDGDiscretization
 from .functions.base import (
     ConstantFunction,
     IndicatorFunction,
     LambdaFunction,
     ScaledFunction,
     SumFunction,
-    nonparametric,
 )
 from .functions.spe10 import MODEL1_NX, MODEL1_NZ, _synthetic_model1_field
 from .grid.structured import alu_cube_grid
-from .problems.default import DefaultProblem
+
 from .testcases._spe10_channel import CHANNEL
 
 __all__ = ["build_spe10_bench", "run_spe10_bench"]

@@ -8,7 +8,7 @@ block-Jacobi; "direct" densifies (small systems, reference solutions).
 """
 from __future__ import annotations
 
-from functools import partial
+
 from typing import Callable, Dict, List, Optional
 
 import jax

@@ -12,7 +12,7 @@ affine family shares one sparsity pattern.
 """
 from __future__ import annotations
 
-from functools import lru_cache
+
 from typing import Callable, Optional, Tuple
 
 import jax
@@ -23,7 +23,7 @@ from ..affine import AffineDecomposition
 from ..functions.base import Function
 from ..grid.structured import Grid, TRIANGLE
 from ..la.sparse import SparseMatrix, SparsityPattern, build_pattern
-from ..parameters import ConstantFunctional, ParameterFunctional, ProductFunctional
+from ..parameters import ProductFunctional
 from .quadrature import edge_rule, quad_rule, tri_rule
 from .spaces import Space
 
