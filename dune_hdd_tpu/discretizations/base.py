@@ -52,6 +52,22 @@ class StationaryDiscretization:
         self.purely_neumann = purely_neumann
         self._cache: Dict = {}
 
+    # -- DiscretizationInterface accessors (interfaces.hh:28-115) -----------
+    def grid_view(self):
+        return self.space.grid
+
+    def test_space(self):
+        return self.space
+
+    def ansatz_space(self):
+        return self.space
+
+    def pattern(self):
+        """The operator's sparsity pattern."""
+        op = self._operator
+        payload = op.affine_part if op.affine_part is not None else op.components[0]
+        return payload.pattern
+
     # -- pymor-style surface (StationaryDiscretizationInterface) ------------
     @property
     def parameter_type(self) -> ParameterType:

@@ -98,6 +98,7 @@ class BlockSWIPDGDiscretization(StationaryDiscretization):
         )
         self._order = order
         self._penalty_mu = penalty_mu
+        self._products_wanted = only_these_products
         self._subgrids: Dict[int, Subgrid] = {}
         self._local_discs: Dict[int, SWIPDGDiscretization] = {}
         self._local_ops: Dict[int, AffineDecomposition] = {}
@@ -131,7 +132,16 @@ class BlockSWIPDGDiscretization(StationaryDiscretization):
         return (sub.cell_map[:, None] * nd + np.arange(nd)[None, :]).reshape(-1)
 
     def localize_vector(self, global_vector: jnp.ndarray, ss: int) -> jnp.ndarray:
-        """block-swipdg.hh:567-581."""
+        """block-swipdg.hh:567-581 (incl. the NaN/Inf input validation of
+        block-swipdg.hh:711-712)."""
+        global_vector = jnp.asarray(global_vector)
+        if global_vector.shape != (self.space.num_dofs,):
+            raise ValueError(
+                f"expected a global vector of length {self.space.num_dofs}, "
+                f"got shape {global_vector.shape}"
+            )
+        if not bool(jnp.all(jnp.isfinite(global_vector))):
+            raise ValueError("given global vector contains NaN or Inf entries")
         return global_vector[jnp.asarray(self._local_dof_map(ss))]
 
     def globalize_vectors(self, local_vectors: Sequence[jnp.ndarray]) -> jnp.ndarray:
@@ -152,7 +162,7 @@ class BlockSWIPDGDiscretization(StationaryDiscretization):
                 {"type": "stuff.grid.boundaryinfo.allneumann"},
                 ZeroBoundaryProblem(self.problem),
                 order=self._order,
-                only_these_products=("l2", "h1_semi", "energy"),
+                only_these_products=self._products_wanted,
                 penalty_mu=self._penalty_mu,
             )
         return self._local_discs[ss]

@@ -123,3 +123,16 @@ def test_oversampled_discretization():
         d.get_oversampled_discretization(0, "bogus")
     with pytest.raises(NotImplementedError):
         d.solve_for_local_correction(0, [])
+
+
+def test_interface_accessors_and_validation(block_disc):
+    d = block_disc
+    assert d.grid_view() is d.space.grid
+    assert d.test_space() is d.space and d.ansatz_space() is d.space
+    assert d.pattern().shape == (d.space.num_dofs, d.space.num_dofs)
+    # NaN input rejected (block-swipdg.hh:711-712 semantics)
+    bad = jnp.full(d.space.num_dofs, jnp.nan)
+    with pytest.raises(ValueError):
+        d.localize_vector(bad, 0)
+    with pytest.raises(ValueError):
+        d.localize_vector(jnp.zeros(3), 0)
