@@ -271,6 +271,18 @@ class BlockSWIPDGDiscretization(StationaryDiscretization):
         self._couplings[key] = out
         return out
 
+    def _artificial_patch_faces(self, patch: Subgrid) -> np.ndarray:
+        """Boundary faces of the patch grid that are NOT on the true domain
+        boundary (the artificial oversampling interface)."""
+        grid = self.ms_grid.grid
+        lf = patch.vertex_map[patch.grid.faces]
+        key_local = np.sort(lf, axis=1)
+        key_global = np.sort(grid.faces, axis=1)
+        gdict = {tuple(k): i for i, k in enumerate(key_global.tolist())}
+        local_to_global = np.asarray([gdict[tuple(k)] for k in key_local.tolist()])
+        on_true_boundary = grid.boundary_faces[local_to_global]
+        return np.nonzero(patch.grid.boundary_faces & ~on_true_boundary)[0]
+
     def get_oversampled_discretization(self, ss: int, boundary_type: str) -> SWIPDGDiscretization:
         """block-swipdg.hh:783-817: local discretization on the oversampled
         patch with artificial 'dirichlet' or 'neumann' boundary."""
@@ -311,13 +323,94 @@ class BlockSWIPDGDiscretization(StationaryDiscretization):
             dtype=dtype or jnp.result_type(float),
         )
 
-    def solve_for_local_correction(self, ss: int, local_vectors, mu=None):
-        """Online enrichment — disabled in the reference by a guard throw
-        (block-swipdg.hh:696); same here until validated."""
-        raise NotImplementedError(
-            "solve_for_local_correction is disabled (reference guard at "
-            "block-swipdg.hh:696)"
+    def solve_for_local_correction(self, local_vectors, subdomain: int, mu=None,
+                                   options=None) -> jnp.ndarray:
+        """Online enrichment: solve the local defect equation on the
+        oversampled patch and return the correction restricted to the
+        subdomain.
+
+        This implements what the reference *guards out* (block-swipdg.hh:
+        692-759): globalize the current local vectors, restrict to the
+        oversampled patch, subtract A_patch(mu) u_patch from the patch rhs
+        (zero-Dirichlet artificial boundary, the multiscale boundary
+        convention of testcases/base.hh:158-164), solve, restrict to the
+        subdomain.  Requires oversampling_layers > 0.
+        """
+        if self.ms_grid.oversampling_layers <= 0:
+            raise ValueError("online enrichment needs oversampling_layers > 0")
+        S = self.num_subdomains()
+        if len(local_vectors) != S:
+            raise ValueError(f"expected {S} local vectors, got {len(local_vectors)}")
+        u = self.globalize_vectors(local_vectors)
+        if not bool(jnp.all(jnp.isfinite(u))):
+            raise ValueError("local_vectors contain NaN or Inf entries")
+        mu_p = self.problem.parse_parameter(mu) if mu is not None else {}
+
+        patch = extract_subgrid(self.ms_grid.grid, self.ms_grid.oversampled_cells(subdomain))
+        patch_disc = SWIPDGDiscretization(
+            patch.grid,
+            {"type": "stuff.grid.boundaryinfo.alldirichlet"},
+            self.problem,
+            order=self._order,
+            only_these_products=(),
+            penalty_mu=self._penalty_mu,
         )
+        nd = self.space.shape_count
+        patch_dofs = (patch.cell_map[:, None] * nd + np.arange(nd)[None, :]).reshape(-1)
+        u_patch = u[jnp.asarray(patch_dofs)]
+        A = patch_disc.freeze_operator(mu_p)
+        b = patch_disc.freeze_rhs(mu_p) - A.matvec(u_patch)
+        # cancel the ARTIFICIAL boundary terms: the patch's weak zero-Dirichlet
+        # penalties act on u at the artificial interface, which is not part of
+        # the true local residual.  Equivalent to using the current solution as
+        # Dirichlet data there (the residual then vanishes identically at the
+        # artificial boundary and the correction decays from the real defect;
+        # without this the reference's guarded version injects O(pen*u)
+        # boundary residuals — presumably why it was distrusted).
+        artificial = self._artificial_patch_faces(patch)
+        if len(artificial):
+            b = b + _discrete_dirichlet_functional(
+                patch_disc, artificial, u_patch, mu_p
+            )
+        from ..la.solvers import solve as la_solve
+
+        delta_patch = la_solve(A, b, options or {"type": "direct"})
+        # restrict to the subdomain: positions of the subdomain's cells in
+        # the patch ordering
+        pos_in_patch = np.searchsorted(patch.cell_map, self.ms_grid.cells(subdomain))
+        local_dofs = (pos_in_patch[:, None] * nd + np.arange(nd)[None, :]).reshape(-1)
+        return delta_patch[jnp.asarray(local_dofs)]
+
+
+def _discrete_dirichlet_functional(disc: SWIPDGDiscretization, faces: np.ndarray,
+                                   u: jnp.ndarray, mu_p) -> jnp.ndarray:
+    """SWIPDG Dirichlet-data functional L_g(v) = int_e g (pen v - tau grad v.n)
+    with g the *discrete* function u evaluated on the given boundary faces —
+    the enrichment boundary data (swipdg_dirichlet_rhs with a discrete g)."""
+    from ..functions.base import freeze_function
+    from ..ops.assembly import face_quadrature
+    from ..ops.swipdg import _side_quantities
+
+    space = disc.space
+    grid = space.grid
+    problem = disc.problem
+    frozen = problem.with_mu(mu_p) if problem.parametric() else problem
+    lam = freeze_function(frozen.diffusion_factor)
+    kap = freeze_function(frozen.diffusion_tensor)
+    wlam, wkap = disc._weight_diffusion
+    qorder = 2 * space.order + max(lam.order, wlam.order) + 1
+    qp, qw = face_quadrature(grid, qorder, faces)
+    n = jnp.asarray(grid.face_normals[faces])
+    h = jnp.asarray(grid.face_volumes[faces])
+    cin = grid.face_cells[faces, 0]
+    vals, flux, delta = _side_quantities(space, cin, qp, lam, kap, wlam, wkap, n)
+    u_loc = u[jnp.asarray(space.cell_dofs[cin])]  # [F, nd]
+    g = jnp.einsum("fki,fi->fk", vals, u_loc)  # discrete u at face qp
+    pen = disc.sigma_boundary * delta / (h[:, None] ** disc.beta)
+    local = jnp.einsum("fk,fki->fi", qw * pen * g, vals)
+    local = local - jnp.einsum("fk,fki->fi", qw * g, flux)
+    out = jnp.zeros(space.num_dofs)
+    return out.at[jnp.asarray(space.cell_dofs[cin]).reshape(-1)].add(local.reshape(-1))
 
 
 class _FaceListBoundaryInfo(BoundaryInfo):

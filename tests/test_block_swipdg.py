@@ -121,8 +121,8 @@ def test_oversampled_discretization():
     assert od.space.grid.num_cells > len(d.ms_grid.cells(0))
     with pytest.raises(ValueError):
         d.get_oversampled_discretization(0, "bogus")
-    with pytest.raises(NotImplementedError):
-        d.solve_for_local_correction(0, [])
+    with pytest.raises(ValueError):
+        d.solve_for_local_correction([], 0)
 
 
 def test_interface_accessors_and_validation(block_disc):
@@ -136,3 +136,31 @@ def test_interface_accessors_and_validation(block_disc):
         d.localize_vector(bad, 0)
     with pytest.raises(ValueError):
         d.localize_vector(jnp.zeros(3), 0)
+
+
+def test_online_enrichment_reduces_local_error():
+    """solve_for_local_correction: a perturbation supported strictly inside a
+    subdomain is (mostly) removed by the oversampled-patch correction."""
+    grid = alu_cube_grid((-1, -1), (1, 1), (4, 4), refinements=2)
+    d = BlockSWIPDGDiscretization(
+        grid, BI, ESV2007Problem(), num_partitions=(2, 2), oversampling_layers=3
+    )
+    u_star = d.solve(options={"type": "direct"})
+    # perturb inside subdomain 0, away from its boundary
+    centroids = grid.cell_centroids
+    bump_cells = np.nonzero(
+        (centroids[:, 0] < -0.45) & (centroids[:, 1] < -0.45)
+        & (centroids[:, 0] > -0.9) & (centroids[:, 1] > -0.9)
+    )[0]
+    assert set(d.ms_grid.subdomain_of[bump_cells].tolist()) == {0}
+    pert = np.zeros(d.space.num_dofs)
+    nd = d.space.shape_count
+    for c in bump_cells:
+        pert[c * nd : (c + 1) * nd] = 0.3
+    u = u_star + jnp.asarray(pert)
+    locals_ = [d.localize_vector(u, ss) for ss in range(4)]
+    delta = d.solve_for_local_correction(locals_, 0)
+    err_before = float(jnp.linalg.norm(locals_[0] - d.localize_vector(u_star, 0)))
+    corrected = locals_[0] + delta
+    err_after = float(jnp.linalg.norm(corrected - d.localize_vector(u_star, 0)))
+    assert err_after < 0.2 * err_before, (err_before, err_after)
