@@ -1,3 +1,4 @@
+from .adaptive import AdaptiveResult, adaptive_lrbms
 from .gram_schmidt import gram_schmidt, pod, trivial_extension
 from .greedy import (
     GreedyResult,
@@ -10,6 +11,8 @@ from .io import load_reduced_model, save_reduced_model
 from .reductor import RBReductor, ReducedModel
 
 __all__ = [
+    "AdaptiveResult",
+    "adaptive_lrbms",
     "gram_schmidt",
     "pod",
     "trivial_extension",

@@ -1,0 +1,114 @@
+"""Adaptive LRBMS: estimator-driven online enrichment of local bases.
+
+The workflow BASELINE.json lists as "OS2014 localization study: block-SWIPDG
+DD with localized error estimator ... adaptive subdomain refinement", and the
+algorithmic core of the LRBMS papers: solve reduced -> localize the OS2014
+error estimator -> enrich the worst subdomain's basis with an oversampled
+local correction solve (solve_for_local_correction) -> re-project.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from .gram_schmidt import gram_schmidt
+from .reductor import RBReductor, ReducedModel
+
+__all__ = ["AdaptiveResult", "adaptive_lrbms"]
+
+
+@dataclass
+class AdaptiveResult:
+    reduced_model: ReducedModel
+    basis: jnp.ndarray
+    local_bases: List[jnp.ndarray]
+    estimates: List[float] = field(default_factory=list)
+    enriched_subdomains: List[int] = field(default_factory=list)
+    true_errors: List[float] = field(default_factory=list)
+
+
+def adaptive_lrbms(
+    block_disc,
+    mu,
+    estimator_parameters: Dict,
+    initial_local_bases: Optional[Sequence[jnp.ndarray]] = None,
+    target_estimate: float = 1e-3,
+    max_enrichments: int = 10,
+    local_product: str = "h1_semi",
+    estimator_type: str = "eta_OS2014_*",
+    solver_options: Optional[Dict] = None,
+    track_true_errors: bool = False,
+    verbose: bool = False,
+) -> AdaptiveResult:
+    """Enrich per-subdomain bases adaptively for one target parameter mu.
+
+    Requires the discretization's ms_grid to have oversampling_layers > 0.
+    """
+    from ..estimators.block_swipdg import BlockSWIPDGEstimators
+
+    d = block_disc
+    S = d.num_subdomains()
+    mu_p = d.problem.parse_parameter(mu) if d.parametric() else {}
+    reductor = RBReductor(d)
+    local_products = [d.get_local_product(ss, local_product).freeze({}) for ss in range(S)]
+    nloc = [len(d._local_dof_map(ss)) for ss in range(S)]
+    if initial_local_bases is not None:
+        local_bases = [jnp.asarray(b) for b in initial_local_bases]
+    else:
+        # start from the localized rhs like the LRBMS greedy
+        local_bases = [
+            gram_schmidt(
+                d.get_local_rhs(ss).freeze(mu_p)[None, :], local_products[ss]
+            )
+            for ss in range(S)
+        ]
+
+    def globalize(bases):
+        rows = []
+        for ss, lb in enumerate(bases):
+            dofs = jnp.asarray(d._local_dof_map(ss))
+            for v in lb:
+                rows.append(jnp.zeros(d.space.num_dofs).at[dofs].set(v))
+        return jnp.stack(rows) if rows else jnp.zeros((0, d.space.num_dofs))
+
+    u_detailed = None
+    if track_true_errors:
+        u_detailed = d.solve(mu, options=solver_options or {"type": "direct"})
+
+    basis = globalize(local_bases)
+    rm = reductor.reduce(basis)
+    result = AdaptiveResult(rm, basis, local_bases)
+    for it in range(max_enrichments + 1):
+        u_rb = rm.reconstruct(rm.solve(mu_p))
+        eta = BlockSWIPDGEstimators.estimate(d, u_rb, estimator_type, estimator_parameters)
+        result.estimates.append(float(eta))
+        if track_true_errors:
+            e = u_detailed - u_rb
+            pm = d.product_matrix("h1_semi")
+            result.true_errors.append(float(jnp.sqrt(jnp.maximum(e @ pm.matvec(e), 0))))
+        if verbose:
+            msg = f"  adaptive it {it}: {estimator_type} = {eta:.3e}"
+            if track_true_errors:
+                msg += f"  (true h1 err {result.true_errors[-1]:.3e})"
+            print(msg)
+        if eta <= target_estimate or it == max_enrichments:
+            break
+        indicators = BlockSWIPDGEstimators.estimate_local(
+            d, u_rb, estimator_type, estimator_parameters
+        )
+        worst = int(np.argmax(indicators))
+        result.enriched_subdomains.append(worst)
+        locals_ = [d.localize_vector(u_rb, ss) for ss in range(S)]
+        delta = d.solve_for_local_correction(locals_, worst, mu_p,
+                                             options=solver_options)
+        stacked = jnp.concatenate([local_bases[worst], delta[None, :]])
+        local_bases[worst] = gram_schmidt(stacked, local_products[worst])
+        basis = globalize(local_bases)
+        rm = reductor.reduce(basis)
+    result.reduced_model = rm
+    result.basis = basis
+    result.local_bases = local_bases
+    return result
