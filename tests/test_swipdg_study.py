@@ -10,7 +10,11 @@ from dune_hdd_tpu.testcases import ESV2007TestCase
 
 def _run_study(grid_variant, num_refinements=2):
     tc = ESV2007TestCase(num_refinements=num_refinements, grid_variant=grid_variant)
-    study = EocStudy(tc, SWIPDGDiscretization, solver_options={"type": "direct"})
+    # tight iterative solve: ~1e-10 from the direct answer, well inside the
+    # table tolerances, and much cheaper than dense LU on the finer levels
+    study = EocStudy(tc, SWIPDGDiscretization,
+                     solver_options={"type": "cg.jacobi", "precision": 1e-12,
+                                     "max_iter": 20000})
     results = study.run(verbose=False)
     return tc, study, results
 
