@@ -103,6 +103,10 @@ class SWIPDGDiscretization(StationaryDiscretization):
         # lines, discreteproblem.hh:117-126 / cg.hh:180-334)
         from ..utils.logging import timed
 
+        # The penalty/weighting diffusion is the FIXED wlam/wkap, so penalty
+        # terms must appear exactly once in the frozen operator: parametric
+        # components carry flux terms only; the penalty goes into the affine
+        # part (created if the decomposition has none).
         operator = AffineDecomposition()
         pairs = diffusion_pairs(problem)
         with timed("swipdg.assemble_operator"):
@@ -112,14 +116,26 @@ class SWIPDGDiscretization(StationaryDiscretization):
                     space, lam_fn, kap_fn, interior, dirichlet,
                     weight_lam_fn=wlam, weight_kap_fn=wkap,
                     sigma_i=self.sigma_inner, sigma_b=self.sigma_boundary, beta=self.beta,
+                    flux_only=(coef is not None),
                 )
                 mat = assemble_swipdg_matrix(space, vol, ib, bb, pattern)
                 if coef is None:
                     operator.register_affine_part(mat)
                 else:
                     operator.register_component(mat, coef)
-        if operator.affine_part is None:
-            operator.register_affine_part(SparseMatrix(pattern, jnp.zeros(pattern.nnz)))
+            if operator.affine_part is None:
+                # penalty-only affine part (zero volume terms)
+                nd_ = space.shape_count
+                ibp, bbp = swipdg_face_blocks(
+                    space, wlam, wkap, interior, dirichlet,
+                    sigma_i=self.sigma_inner, sigma_b=self.sigma_boundary,
+                    beta=self.beta, penalty_only=True,
+                )
+                operator.register_affine_part(
+                    assemble_swipdg_matrix(
+                        space, jnp.zeros((grid.num_cells, nd_, nd_)), ibp, bbp, pattern
+                    )
+                )
 
         # -- rhs ------------------------------------------------------------
         rhs = AffineDecomposition()

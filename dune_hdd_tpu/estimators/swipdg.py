@@ -84,8 +84,11 @@ def min_diffusion_eigenvalue(lam_fn: Function, kap_fn: Function, grid: Grid,
 
 def _side_data(space: Space, cells: np.ndarray, qp: jnp.ndarray,
                u: jnp.ndarray, lam_fn: Function, kap_fn: Function,
-               n: jnp.ndarray):
-    """(u_h at qp [F,k], normal diffusive flux of u_h [F,k], delta [F,k])."""
+               n: jnp.ndarray, wlam_fn: Optional[Function] = None,
+               wkap_fn: Optional[Function] = None):
+    """(u_h at qp [F,k], normal diffusive flux of u_h [F,k], delta [F,k]);
+    delta (weights/penalty ingredient) uses the weighting diffusion when
+    given (the scheme's fixed penalty diffusion for parametric problems)."""
     grid = space.grid
     verts = jnp.asarray(grid.cell_vertices[cells])
     cent = jnp.asarray(grid.cell_centroids[cells])
@@ -99,7 +102,11 @@ def _side_data(space: Space, cells: np.ndarray, qp: jnp.ndarray,
     kap = kap_fn(shifted)
     tau = lam[..., None, None] * kap
     flux = jnp.einsum("fkab,fkb,fa->fk", tau, grad_uh, n)
-    delta = jnp.einsum("fa,fkab,fb->fk", n, tau, n)
+    if wlam_fn is not None and wlam_fn is not lam_fn:
+        wtau = wlam_fn(shifted)[..., None, None] * (wkap_fn or kap_fn)(shifted)
+    else:
+        wtau = tau
+    delta = jnp.einsum("fa,fkab,fb->fk", n, wtau, n)
     return uh, flux, delta
 
 
@@ -113,6 +120,8 @@ def rt0_flux_reconstruction(
     g_d: Optional[Function] = None,
     g_n: Optional[Function] = None,
     qorder: int = 4,
+    weight_lam_fn: Optional[Function] = None,
+    weight_kap_fn: Optional[Function] = None,
 ) -> jnp.ndarray:
     """Mean normal flux per face [NF] (along the global inside->outside
     normal) of the RTN0 diffusive-flux reconstruction t_h of -lam kap grad u:
@@ -135,8 +144,10 @@ def rt0_flux_reconstruction(
         qp, qw = face_quadrature(grid, qorder, interior)
         n = jnp.asarray(grid.face_normals[interior])
         h = jnp.asarray(grid.face_volumes[interior])
-        u_m, f_m, d_m = _side_data(space, grid.face_cells[interior, 0], qp, u, lam_fn, kap_fn, n)
-        u_p, f_p, d_p = _side_data(space, grid.face_cells[interior, 1], qp, u, lam_fn, kap_fn, n)
+        u_m, f_m, d_m = _side_data(space, grid.face_cells[interior, 0], qp, u,
+                                   lam_fn, kap_fn, n, weight_lam_fn, weight_kap_fn)
+        u_p, f_p, d_p = _side_data(space, grid.face_cells[interior, 1], qp, u,
+                                   lam_fn, kap_fn, n, weight_lam_fn, weight_kap_fn)
         denom = d_m + d_p
         w_m, w_p = d_p / denom, d_m / denom
         gamma = d_m * d_p / denom
@@ -151,7 +162,8 @@ def rt0_flux_reconstruction(
         qp, qw = face_quadrature(grid, qorder, fb)
         n = jnp.asarray(grid.face_normals[fb])
         h = jnp.asarray(grid.face_volumes[fb])
-        uh, flux, delta = _side_data(space, grid.face_cells[fb, 0], qp, u, lam_fn, kap_fn, n)
+        uh, flux, delta = _side_data(space, grid.face_cells[fb, 0], qp, u,
+                                     lam_fn, kap_fn, n, weight_lam_fn, weight_kap_fn)
         gd = g_d(qp) if g_d is not None else 0.0
         pen = sigma_b * delta / (h[:, None] ** beta)
         tn = -flux + pen * (uh - gd)
@@ -229,6 +241,18 @@ class SWIPDGEstimators:
         )
         lam_hat = freeze_function(frozen_hat.diffusion_factor)
         kap_hat = freeze_function(frozen_hat.diffusion_tensor)
+        # the scheme's penalty diffusion (SWIPDGDiscretization's penalty_mu
+        # convention: all-ones) for a flux reconstruction that matches the
+        # assembled numerical flux; identical to (lam, kap) if nonparametric
+        if problem.parametric():
+            import jax.numpy as _jnp
+
+            ones = {k: _jnp.ones(v) for k, v in problem.parameter_type.items()}
+            wfrozen = problem.with_mu(ones)
+            wlam = freeze_function(wfrozen.diffusion_factor)
+            wkap = freeze_function(wfrozen.diffusion_tensor)
+        else:
+            wlam, wkap = lam, kap
         force = freeze_function(frozen.force)
         g_d = freeze_function(frozen.dirichlet)
         g_n = freeze_function(frozen.neumann)
@@ -258,7 +282,8 @@ class SWIPDGEstimators:
                 proj = jnp.sum(qw * f_q, axis=1) / vol  # P0 projection
             else:
                 mean_flux = rt0_flux_reconstruction(
-                    space, u, lam, kap, dirichlet_faces, neumann_faces, g_d, g_n
+                    space, u, lam, kap, dirichlet_faces, neumann_faces, g_d, g_n,
+                    weight_lam_fn=wlam, weight_kap_fn=wkap,
                 )
                 proj = rt0_divergence(grid, mean_flux)
             resid = jnp.sum(qw * (f_q - proj[:, None]) ** 2, axis=1)
@@ -275,7 +300,8 @@ class SWIPDGEstimators:
             # swipdg.hh:582-585) and lambda(mu) for the star variant
             # (OS2014::DiffusiveFluxEstimateStar, block-swipdg.hh:609-615).
             mean_flux = rt0_flux_reconstruction(
-                space, u, lam, kap, dirichlet_faces, neumann_faces, g_d, g_n
+                space, u, lam, kap, dirichlet_faces, neumann_faces, g_d, g_n,
+                weight_lam_fn=wlam, weight_kap_fn=wkap,
             )
             qorder = lam.order + lam_hat.order + 4
             qp, qw = cell_quadrature(grid, qorder)

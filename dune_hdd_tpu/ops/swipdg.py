@@ -135,12 +135,16 @@ def swipdg_face_blocks(
     beta: Optional[float] = None,
     qorder: Optional[int] = None,
     penalty_only: bool = False,
+    flux_only: bool = False,
     flux_scale: float = 1.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (interior blocks [Fi, 2, 2, nd, nd], boundary blocks
     [Fb, nd, nd]).  Index order: [face, test side, ansatz side, i, j].
     ``penalty_only`` drops the consistency flux terms (the "penalty" product,
-    swipdg.hh:448-481)."""
+    swipdg.hh:448-481); ``flux_only`` drops the penalty terms (affine
+    parametric components: the penalty lives once in the affine part)."""
+    if penalty_only and flux_only:
+        raise ValueError("penalty_only and flux_only are mutually exclusive")
     grid = space.grid
     wlam = weight_lam_fn or lam_fn
     wkap = weight_kap_fn or kap_fn
@@ -170,7 +174,12 @@ def swipdg_face_blocks(
         for s in range(2):  # test side
             row = []
             for t in range(2):  # ansatz side
-                b = jnp.einsum("fk,fki,fkj->fij", qw * sign[s] * sign[t] * pen, vals[s], vals[t])
+                if flux_only:
+                    b = jnp.zeros((len(fi), nd, nd))
+                else:
+                    b = jnp.einsum(
+                        "fk,fki,fkj->fij", qw * sign[s] * sign[t] * pen, vals[s], vals[t]
+                    )
                 if not penalty_only:
                     b = b - flux_scale * jnp.einsum(
                         "fk,fki,fkj->fij", qw * sign[s], vals[s], wflux[t]
@@ -191,7 +200,10 @@ def swipdg_face_blocks(
         cin = grid.face_cells[fb, 0]
         vals_m, flux_m, delta_m = _side_quantities(space, cin, qp, lam_fn, kap_fn, wlam, wkap, n)
         pen = sigma_b * delta_m / (h[:, None] ** beta)
-        b = jnp.einsum("fk,fki,fkj->fij", qw * pen, vals_m, vals_m)
+        if flux_only:
+            b = jnp.zeros((len(fb), nd, nd))
+        else:
+            b = jnp.einsum("fk,fki,fkj->fij", qw * pen, vals_m, vals_m)
         if not penalty_only:
             b = b - flux_scale * jnp.einsum("fk,fki,fkj->fij", qw, vals_m, flux_m)
             b = b - flux_scale * jnp.einsum("fk,fki,fkj->fij", qw, flux_m, vals_m)

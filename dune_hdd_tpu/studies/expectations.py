@@ -111,20 +111,20 @@ for _part in ("[1 1 1]", "[2 2 1]", "[4 4 1]", "[8 8 1]"):
 
 # ---------------------------------------------------------------------------
 # BlockSWIPDG, OS2014 parametric, [4 4 1] — RECORDED with this framework
-# (penalty_mu deviation, see docs/DESIGN.md; within 1-10% of the reference
+# (penalty_mu deviation, see docs/DESIGN.md; exact at mu=1, within 5% of the reference
 # parametric tables, .._os2014_2daluconform.cxx:95-190).
 record("OS2014.block.[4 4 1].mu0.1_bar0.1_hat0.1", "alu_conforming", 1, {
-    "eta_DF_OS2014": [1.28517, 0.724479],
-    "eta_DF_OS2014_*": [1.28517, 0.724479],
-    "eta_OS2014": [1.95683, 1.11240],
+    "eta_DF_OS2014": [1.26608, 0.736650],
+    "eta_DF_OS2014_*": [1.26608, 0.736650],
+    "eta_OS2014": [2.01309, 1.17973],
 })
 record("OS2014.block.[4 4 1].mu1_bar1_hat0.1", "alu_conforming", 1, {
-    "eta_DF_OS2014": [1.33805, 1.32770],
-    "eta_DF_OS2014_*": [0.406694, 0.205217],
-    "eta_OS2014": [4.58922, 4.37849],
+    "eta_DF_OS2014": [1.35747, 1.33230],  # == reference exactly (mu = 1)
+    "eta_DF_OS2014_*": [0.413065, 0.204837],
+    "eta_OS2014": [4.71077, 4.41936],
 })
 record("OS2014.block.[4 4 1].mu0.1_bar0.1_hat1", "alu_conforming", 1, {
-    "eta_DF_OS2014": [1.14028, 1.25066],
-    "eta_DF_OS2014_*": [1.24927, 0.703152],
-    "eta_OS2014": [4.27754, 4.34285],
+    "eta_DF_OS2014": [1.06433, 1.21490],
+    "eta_DF_OS2014_*": [1.18629, 0.689966],
+    "eta_OS2014": [4.11271, 4.28493],
 })
