@@ -4,7 +4,13 @@ import numpy as np
 import pytest
 
 from dune_hdd_tpu.discretizations import SWIPDGDiscretization
-from dune_hdd_tpu.studies import EocStudy, eoc_rates, expected_results
+from dune_hdd_tpu.studies import (
+    EocStudy,
+    StudyCheckError,
+    check_eoc_study_for_success,
+    eoc_rates,
+    expected_results,
+)
 from dune_hdd_tpu.testcases import ESV2007TestCase
 
 
@@ -21,11 +27,14 @@ def _run_study(grid_variant, num_refinements=2):
 
 def test_esv2007_alu_conforming_matches_reference_table():
     """The headline regression: reproduce the dune-hdd expectation values on
-    the ALU-conforming NVB grid (BASELINE.md SWIPDG/ESV2007 table)."""
+    the ALU-conforming NVB grid (BASELINE.md SWIPDG/ESV2007 table), via the
+    check_eoc_study_for_success analog."""
     tc, study, results = _run_study("alu_conforming", num_refinements=2)
-    for t in ("L2", "H1_semi", "energy"):
-        expected = expected_results("ESV2007", "alu_conforming", 1, t)[: len(results[t])]
-        np.testing.assert_allclose(results[t], expected, rtol=5e-3, err_msg=t)
+    check_eoc_study_for_success(study, "ESV2007", "alu_conforming", 1)
+    # and the checker actually catches corruption
+    study.results = {k: [v * 2 for v in vs] for k, vs in results.items()}
+    with pytest.raises(StudyCheckError):
+        check_eoc_study_for_success(study, "ESV2007", "alu_conforming", 1)
 
 
 def test_esv2007_alu_eoc_rates():
