@@ -1,3 +1,4 @@
+from .distributed import initialize_distributed, is_distributed, process_info
 from .sharded import (
     ShardedAffineSystem,
     make_device_mesh,
@@ -6,6 +7,9 @@ from .sharded import (
 )
 
 __all__ = [
+    "initialize_distributed",
+    "is_distributed",
+    "process_info",
     "ShardedAffineSystem",
     "make_device_mesh",
     "sharded_cg",
