@@ -44,6 +44,12 @@ def main(argv=None):
         "--platform", default=None, choices=["cpu", "tpu", "axon"],
         help="force the jax platform (the axon TPU plugin ignores JAX_PLATFORMS)",
     )
+    parser.add_argument(
+        "--case", default="esv2007", choices=["esv2007", "os2014"],
+        help="for 'study': esv2007 = SWIPDG fine-grid estimator study; "
+             "os2014 = block-SWIPDG eta_OS2014 over partitionings "
+             "(the OS2014-FVCA7 poster workflow)",
+    )
     args = parser.parse_args(argv)
     if args.platform:
         import jax
@@ -81,6 +87,8 @@ def main(argv=None):
 def _run_study(args):
     """EOC/estimator study runner (the analog of the reference's gtest study
     executables, printed as a convergence table)."""
+    if getattr(args, "case", "esv2007") == "os2014":
+        return _run_block_study(args)
     from ..discretizations import SWIPDGDiscretization
     from ..estimators import SWIPDGEstimators
     from ..studies import EocStudy, eoc_rates
@@ -106,6 +114,35 @@ def _run_study(args):
         print(f"  {t}: " + "  ".join(f"{r:.2f}" for r in eoc_rates(vals)))
     eff = [e / h for e, h in zip(results["eta_ESV2007"], results["H1_semi"])]
     print("  eff_ESV2007: " + "  ".join(f"{v:.3f}" for v in eff))
+    return 0
+
+
+def _run_block_study(args):
+    """Block-SWIPDG eta_OS2014 over partitionings 1/4/16/64 — the
+    OS2014-FVCA7 poster workflow (test/OS2014-FVCA7-poster.cc:53-85)."""
+    from ..discretizations.block_swipdg import BlockSWIPDGDiscretization
+    from ..estimators.block_swipdg import BlockSWIPDGEstimators
+    from ..functions import Testcase1ExactSolution
+    from ..ops import error_norms
+    from ..testcases import ESV2007TestCase
+
+    tc = ESV2007TestCase(num_refinements=1)
+    exact = Testcase1ExactSolution()
+    print("BlockSWIPDG ESV2007: eta_OS2014 / eff by partitioning\n")
+    print(f"{'partitioning':>14s} {'level':>5s} {'energy err':>12s} "
+          f"{'eta_OS2014':>12s} {'eff':>8s}")
+    for part in ((1, 1), (2, 2), (4, 4), (8, 8)):
+        for lvl in range(tc.num_refinements + 1):
+            d = BlockSWIPDGDiscretization(
+                tc.level_grid(lvl), tc.boundary_info(), tc.problem,
+                num_partitions=part,
+            )
+            u = d.solve(options={"type": "cg.jacobi", "precision": 1e-12,
+                                 "max_iter": 20000})
+            eta = BlockSWIPDGEstimators.estimate(d, u, "eta_OS2014")
+            e = error_norms(d.space, u, exact)["H1_semi"]
+            print(f"{str(list(part)):>14s} {lvl:>5d} {e:>12.4e} "
+                  f"{eta:>12.4e} {eta/e:>8.3f}")
     return 0
 
 
