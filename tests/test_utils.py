@@ -1,0 +1,71 @@
+"""Auxiliary subsystems: logging/timing (survey 5.1), config (5.6), vtk (5.5)."""
+import logging
+import os
+
+import numpy as np
+import pytest
+
+from dune_hdd_tpu.utils.config import Configuration
+from dune_hdd_tpu.utils.logging import TimedLogger, create_logger, reset_timings, timed, timings
+from dune_hdd_tpu.utils.vtk import write_cell_data_vtu, write_vtu
+
+
+def test_timed_records_phases():
+    reset_timings()
+    with timed("phase.a"):
+        pass
+    with timed("phase.a"):
+        pass
+    with timed("phase.b"):
+        pass
+    t = timings()
+    assert len(t["phase.a"]) == 2
+    assert len(t["phase.b"]) == 1
+    assert all(v >= 0 for v in t["phase.a"])
+    reset_timings()
+    assert timings() == {}
+
+
+def test_timed_logger_emits(capsys):
+    log = TimedLogger("test_timed_logger")
+    log.info("hello")
+    out = capsys.readouterr().out
+    assert "hello" in out and "s] " in out
+
+
+def test_logger_flags():
+    log = create_logger({"info": False}, "quiet_logger")
+    assert log.level == logging.WARNING
+    log = create_logger({"debug": True}, "debug_logger")
+    assert log.level == logging.DEBUG
+
+
+def test_config_merge_and_sections(tmp_path):
+    a = Configuration({"grid.type": "cube", "grid.num_elements": [4, 4]})
+    b = Configuration({"problem.type": "ESV2007"})
+    a.add(b)
+    assert a["problem.type"] == "ESV2007"
+    a.add(Configuration({"inner": 1}), sub_name="nested.deep")
+    assert a["nested.deep.inner"] == 1
+    # comments and blank lines are ignored on parse
+    text = "# comment\n[grid]\ntype = cube # trailing\n\nnum = 3\n"
+    cfg = Configuration.from_string(text)
+    assert cfg["grid.type"] == "cube"
+    assert cfg["grid.num"] == 3
+
+
+def test_vtk_writers(tmp_path):
+    from dune_hdd_tpu.grid import rectangle_grid
+    from dune_hdd_tpu.ops.spaces import cg_space, dg_space
+
+    g = rectangle_grid((0, 0), (1, 1), (3, 3), "triangle")
+    cgp = write_vtu(cg_space(g), np.arange(g.num_vertices, dtype=float),
+                    str(tmp_path / "cg"))
+    dgp = write_vtu(dg_space(g), np.arange(g.num_cells * 3, dtype=float),
+                    str(tmp_path / "dg"))
+    cp = write_cell_data_vtu(g, {"eta": np.ones(g.num_cells)}, str(tmp_path / "cells"))
+    for p in (cgp, dgp, cp):
+        assert os.path.isfile(p)
+        text = open(p).read()
+        assert "<VTKFile" in text and "</VTKFile>" in text
+    assert "eta" in open(cp).read()
