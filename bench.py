@@ -35,7 +35,8 @@ def main():
         # SPE10 matrix is numerically indefinite in f32, so solve-to-tolerance
         # needs contrast-robust MG or fast f64 (round-2 work); the achieved
         # relative residual is reported alongside.
-        "metric": "spe10_swipdg_assemble_plus_300cg",
+        "metric": ("spe10_swipdg_assemble_solve_f64" if mode == "converged"
+                   else "spe10_swipdg_assemble_plus_300cg"),
         "value": round(result["mdof_per_s"], 3),
         "unit": "MDoF/s",
         "vs_baseline": round(result["mdof_per_s"] / 5.0, 3),
