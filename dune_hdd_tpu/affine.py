@@ -152,14 +152,21 @@ def coefficient_bounds(
     mu: Parameter,
     mu_ref: Parameter,
 ) -> tuple:
-    """(alpha, gamma) = (min_q, max_q) theta_q(mu)/theta_q(mu_ref), including
-    the affine part as a component with theta == 1.
+    """(alpha, gamma) = (min_q, max_q) theta_q(mu)/theta_q(mu_ref) over the
+    *components only* — the affine part is excluded (dune-pymor semantics:
+    for the OS2014 problem, alpha(mu=1, mu_hat=0.1) = 10 > 1, which only the
+    components-only ratio reproduces; verified against the published
+    eta_OS2014/eta_OS2014_* tables,
+    test/linearelliptic-block-swipdg-expectations_os2014_2daluconform.cxx:
+    155-190).
 
     These are dune-pymor's `alpha`/`gamma` parameter factors the OS2014
     estimator scales its terms with (estimators/block-swipdg.hh:777-786).
     """
-    expanded = decomposition.with_expanded_affine_part()
-    t = expanded.thetas(mu)
-    t_ref = expanded.thetas(mu_ref)
+    if not decomposition.components:
+        one = jnp.asarray(1.0)
+        return one, one
+    t = decomposition.thetas(mu)
+    t_ref = decomposition.thetas(mu_ref)
     ratios = t / t_ref
     return jnp.min(ratios), jnp.max(ratios)

@@ -60,6 +60,18 @@ class CouplingOperator:
     out_out: SparseMatrix
 
 
+# registered as a pytree so AffineDecomposition.freeze(mu) maps over the four
+# blocks (tree_map would otherwise treat CouplingOperator as a leaf and crash
+# on theta * CouplingOperator)
+import jax.tree_util as _tree_util
+
+_tree_util.register_pytree_node(
+    CouplingOperator,
+    lambda op: ((op.in_in, op.in_out, op.out_in, op.out_out), None),
+    lambda _, children: CouplingOperator(*children),
+)
+
+
 class BlockSWIPDGDiscretization(StationaryDiscretization):
     static_id = "hdd.linearelliptic.discretizations.block-swipdg"
 
@@ -73,6 +85,7 @@ class BlockSWIPDGDiscretization(StationaryDiscretization):
         order: int = 1,
         only_these_products: Optional[Sequence[str]] = ("l2", "h1_semi", "energy"),
         penalty_mu=None,
+        scheme: Optional[str] = None,
     ):
         if isinstance(grid, MultiscaleGrid):
             self.ms_grid = grid
@@ -84,6 +97,7 @@ class BlockSWIPDGDiscretization(StationaryDiscretization):
         self._global = SWIPDGDiscretization(
             grid, boundary_info, problem, order=order,
             only_these_products=only_these_products, penalty_mu=penalty_mu,
+            scheme=scheme,
         )
         g = self._global
         super().__init__(
@@ -98,6 +112,7 @@ class BlockSWIPDGDiscretization(StationaryDiscretization):
         )
         self._order = order
         self._penalty_mu = penalty_mu
+        self._scheme = self._global.scheme
         self._products_wanted = only_these_products
         self._subgrids: Dict[int, Subgrid] = {}
         self._local_discs: Dict[int, SWIPDGDiscretization] = {}
@@ -163,7 +178,7 @@ class BlockSWIPDGDiscretization(StationaryDiscretization):
                 ZeroBoundaryProblem(self.problem),
                 order=self._order,
                 only_these_products=self._products_wanted,
-                penalty_mu=self._penalty_mu,
+                penalty_mu=self._penalty_mu, scheme=self._scheme,
             )
         return self._local_discs[ss]
 
@@ -202,7 +217,7 @@ class BlockSWIPDGDiscretization(StationaryDiscretization):
                     self.problem,
                     order=self._order,
                     only_these_products=(),
-                    penalty_mu=self._penalty_mu,
+                    penalty_mu=self._penalty_mu, scheme=self._scheme,
                 )
                 self._local_ops[ss] = sub_disc.get_operator()
             else:
@@ -219,7 +234,7 @@ class BlockSWIPDGDiscretization(StationaryDiscretization):
                 self.problem,
                 order=self._order,
                 only_these_products=(),
-                penalty_mu=self._penalty_mu,
+                penalty_mu=self._penalty_mu, scheme=self._scheme,
             )
             self._local_rhs[ss] = sub_disc.get_rhs()
         return self._local_rhs[ss]
@@ -244,30 +259,61 @@ class BlockSWIPDGDiscretization(StationaryDiscretization):
         local_cell_ss = _inverse_map(self.ms_grid.cells(ss), grid.num_cells)
         local_cell_nn = _inverse_map(self.ms_grid.cells(nn), grid.num_cells)
 
-        # weighting diffusion from the global discretization
+        # weighting diffusion from the global discretization (penalty_mu
+        # scheme only; the reference scheme self-weights each component)
         wlam, wkap = self._global._weight_diffusion
         pairs = diffusion_pairs(self.problem)
         out = AffineDecomposition()
         empty = np.zeros(0, dtype=np.int64)
+        subsets = tuple(
+            (subset, flipped)
+            for subset, flipped in ((faces[inside_sub == ss], False),
+                                    (faces[inside_sub == nn], True))
+            if len(subset)
+        )
+
+        pats: Dict[str, object] = {}
         for (lam_fn, kap_fn), coef in _parts(pairs):
             blocks_list = []
-            orientations = []
-            for subset, flipped in ((faces[inside_sub == ss], False),
-                                    (faces[inside_sub == nn], True)):
-                if len(subset) == 0:
-                    continue
-                ib, _bb = swipdg_face_blocks(
-                    space, lam_fn, kap_fn, subset, empty,
-                    weight_lam_fn=wlam, weight_kap_fn=wkap,
-                )
+            for subset, flipped in subsets:
+                if self._scheme == "reference":
+                    # full self-weighted coupling form per component
+                    # (CouplingAssembler over per-component EllipticSWIPDG
+                    # couplings, block-swipdg.hh:1270-1326)
+                    ib, _bb = swipdg_face_blocks(space, lam_fn, kap_fn, subset, empty)
+                else:
+                    # penalty_mu scheme: parametric components carry flux
+                    # terms only; the penalty appears exactly once (below)
+                    ib, _bb = swipdg_face_blocks(
+                        space, lam_fn, kap_fn, subset, empty,
+                        weight_lam_fn=wlam, weight_kap_fn=wkap,
+                        flux_only=(coef is not None),
+                    )
                 blocks_list.append((subset, np.asarray(ib), flipped))
             mats = _assemble_coupling(
-                blocks_list, grid, space, local_cell_ss, local_cell_nn, n_ss, n_nn
+                blocks_list, grid, space, local_cell_ss, local_cell_nn, n_ss, n_nn,
+                patterns=pats,
             )
             if coef is None:
                 out.register_affine_part(mats)
             else:
                 out.register_component(mats, coef)
+        if self._scheme != "reference" and out.affine_part is None:
+            # penalty-only affine part from the fixed weighting diffusion, so
+            # the penalty is counted exactly once for every mu (mirrors
+            # SWIPDGDiscretization.__init__'s penalty-only affine part)
+            blocks_list = []
+            for subset, flipped in subsets:
+                ib, _bb = swipdg_face_blocks(
+                    space, wlam, wkap, subset, empty, penalty_only=True,
+                )
+                blocks_list.append((subset, np.asarray(ib), flipped))
+            out.register_affine_part(
+                _assemble_coupling(
+                    blocks_list, grid, space, local_cell_ss, local_cell_nn, n_ss, n_nn,
+                    patterns=pats,
+                )
+            )
         self._couplings[key] = out
         return out
 
@@ -302,7 +348,7 @@ class BlockSWIPDGDiscretization(StationaryDiscretization):
             disc = SWIPDGDiscretization(
                 patch.grid, bi, ZeroBoundaryProblem(self.problem),
                 order=self._order, only_these_products=("l2", "h1_semi"),
-                penalty_mu=self._penalty_mu,
+                penalty_mu=self._penalty_mu, scheme=self._scheme,
             )
             disc.oversampled_patch = patch
             self._oversampled[key] = disc
@@ -353,7 +399,7 @@ class BlockSWIPDGDiscretization(StationaryDiscretization):
             self.problem,
             order=self._order,
             only_these_products=(),
-            penalty_mu=self._penalty_mu,
+            penalty_mu=self._penalty_mu, scheme=self._scheme,
         )
         nd = self.space.shape_count
         patch_dofs = (patch.cell_map[:, None] * nd + np.arange(nd)[None, :]).reshape(-1)
@@ -397,7 +443,12 @@ def _discrete_dirichlet_functional(disc: SWIPDGDiscretization, faces: np.ndarray
     frozen = problem.with_mu(mu_p) if problem.parametric() else problem
     lam = freeze_function(frozen.diffusion_factor)
     kap = freeze_function(frozen.diffusion_tensor)
-    wlam, wkap = disc._weight_diffusion
+    if disc.scheme == "reference":
+        # boundary penalty/flux are LINEAR in the diffusion, so the frozen
+        # per-component sum equals the mu-frozen self-weighted form exactly
+        wlam, wkap = lam, kap
+    else:
+        wlam, wkap = disc._weight_diffusion
     qorder = 2 * space.order + max(lam.order, wlam.order) + 1
     qp, qw = face_quadrature(grid, qorder, faces)
     n = jnp.asarray(grid.face_normals[faces])
@@ -428,9 +479,15 @@ def _inverse_map(cell_ids: np.ndarray, num_cells: int) -> np.ndarray:
     return inv
 
 
-def _assemble_coupling(blocks_list, grid, space, local_ss, local_nn, n_ss, n_nn) -> CouplingOperator:
+def _assemble_coupling(blocks_list, grid, space, local_ss, local_nn, n_ss, n_nn,
+                       patterns=None) -> CouplingOperator:
     """Assemble per-face 2x2 blocks into the four rectangular coupling
-    matrices; ``flipped`` subsets have inside=nn so their (s,t) indices swap."""
+    matrices; ``flipped`` subsets have inside=nn so their (s,t) indices swap.
+
+    ``patterns`` (a mutable dict) shares the four SparsityPatterns across
+    the affine components of one coupling pair — required for
+    AffineDecomposition.freeze to tree_map over CouplingOperator leaves
+    (patterns compare by identity)."""
     nd = space.shape_count
     entries = {k: ([], [], []) for k in ("in_in", "in_out", "out_in", "out_out")}
     for subset, blocks, flipped in blocks_list:
@@ -473,6 +530,11 @@ def _assemble_coupling(blocks_list, grid, space, local_ss, local_nn, n_ss, n_nn)
             rows = np.zeros(0, dtype=np.int64)
             cols = np.zeros(0, dtype=np.int64)
             vals = jnp.zeros(0)
-        pat = build_pattern(rows, cols, shapes[name])
+        if patterns is not None and name in patterns:
+            pat = patterns[name]
+        else:
+            pat = build_pattern(rows, cols, shapes[name])
+            if patterns is not None:
+                patterns[name] = pat
         mats[name] = SparseMatrix(pat, pat.assemble(vals))
     return CouplingOperator(**mats)

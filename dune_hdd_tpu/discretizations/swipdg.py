@@ -8,10 +8,20 @@ the (diffusion_p x dirichlet_q) cross components with product coefficients
 swipdg.hh:358-508): l2, h1_semi, elliptic, boundary_l2, penalty, energy
 (= copy of the system matrix family).
 
-For parametric problems the weighting/penalty diffusion is frozen at
-``penalty_mu`` (default: all-ones parameter) so the affine decomposition is
-exact — see ops/swipdg.py docstring for the relation to the reference's
-per-component self-weighted operators.
+Two parametric schemes are supported (``scheme``):
+
+* "reference" (default) — exactly the reference's decomposition: one
+  *self-weighted* SWIPDG operator per affine diffusion component
+  (swipdg.hh:222-249; flux, weights, and penalty all from lambda_q kappa),
+  and one full Dirichlet-penalty boundary functional per
+  (diffusion_p x dirichlet_q) pair with product coefficient theta_p*theta_q
+  (swipdg.hh:272-332).  This reproduces the published parametric expectation
+  tables; the frozen penalty sum_q theta_q gamma_q is not the penalty of the
+  frozen diffusion (gamma is nonlinear in lambda), matching the reference.
+* "penalty_mu" — weights/penalty frozen at ``penalty_mu`` (default all-ones):
+  parametric components carry flux terms only and the penalty appears exactly
+  once in the affine part.  Guaranteed-positive penalty for every mu (used
+  where coercivity of each component matters).
 """
 from __future__ import annotations
 
@@ -67,7 +77,13 @@ class SWIPDGDiscretization(StationaryDiscretization):
         order: int = 1,
         only_these_products: Optional[Sequence[str]] = ("l2", "h1_semi", "energy"),
         penalty_mu=None,
+        scheme: Optional[str] = None,
     ):
+        if scheme is None:
+            scheme = "penalty_mu" if penalty_mu is not None else "reference"
+        if scheme not in ("reference", "penalty_mu"):
+            raise ValueError(f"unknown scheme {scheme!r}")
+        self.scheme = scheme
         if not isinstance(boundary_info, BoundaryInfo):
             boundary_info = make_boundary_info(grid, boundary_info)
         space = dg_space(grid, order)
@@ -103,7 +119,9 @@ class SWIPDGDiscretization(StationaryDiscretization):
         # lines, discreteproblem.hh:117-126 / cg.hh:180-334)
         from ..utils.logging import timed
 
-        # The penalty/weighting diffusion is the FIXED wlam/wkap, so penalty
+        # scheme="reference": one self-weighted full SWIPDG form per affine
+        # component (swipdg.hh:222-249).  scheme="penalty_mu": the
+        # penalty/weighting diffusion is the FIXED wlam/wkap, so penalty
         # terms must appear exactly once in the frozen operator: parametric
         # components carry flux terms only; the penalty goes into the affine
         # part (created if the decomposition has none).
@@ -112,18 +130,25 @@ class SWIPDGDiscretization(StationaryDiscretization):
         with timed("swipdg.assemble_operator"):
             for (lam_fn, kap_fn), coef in _parts(pairs):
                 vol = elliptic_cell_matrices(space, lam_fn, kap_fn)
-                ib, bb = swipdg_face_blocks(
-                    space, lam_fn, kap_fn, interior, dirichlet,
-                    weight_lam_fn=wlam, weight_kap_fn=wkap,
-                    sigma_i=self.sigma_inner, sigma_b=self.sigma_boundary, beta=self.beta,
-                    flux_only=(coef is not None),
-                )
+                if scheme == "reference":
+                    ib, bb = swipdg_face_blocks(
+                        space, lam_fn, kap_fn, interior, dirichlet,
+                        sigma_i=self.sigma_inner, sigma_b=self.sigma_boundary,
+                        beta=self.beta,
+                    )
+                else:
+                    ib, bb = swipdg_face_blocks(
+                        space, lam_fn, kap_fn, interior, dirichlet,
+                        weight_lam_fn=wlam, weight_kap_fn=wkap,
+                        sigma_i=self.sigma_inner, sigma_b=self.sigma_boundary, beta=self.beta,
+                        flux_only=(coef is not None),
+                    )
                 mat = assemble_swipdg_matrix(space, vol, ib, bb, pattern)
                 if coef is None:
                     operator.register_affine_part(mat)
                 else:
                     operator.register_component(mat, coef)
-            if operator.affine_part is None:
+            if scheme == "penalty_mu" and operator.affine_part is None:
                 # penalty-only affine part (zero volume terms)
                 nd_ = space.shape_count
                 ibp, bbp = swipdg_face_blocks(
@@ -157,6 +182,24 @@ class SWIPDGDiscretization(StationaryDiscretization):
                 add_rhs(boundary_face_functional(space, g_fn, neumann), coef)
         if len(dirichlet):
             for g_fn, gcoef in _parts(problem.dirichlet):
+                if scheme == "reference":
+                    # one full (flux + penalty) self-weighted boundary
+                    # functional per (diffusion_p x dirichlet_q) pair with
+                    # product coefficient theta_p * theta_q (swipdg.hh:272-332)
+                    for (lam_fn, kap_fn), mcoef in _parts(pairs):
+                        vec = swipdg_dirichlet_rhs(
+                            space, g_fn, dirichlet, lam_fn=lam_fn, kap_fn=kap_fn,
+                            sigma_b=self.sigma_boundary, beta=self.beta, part="both",
+                        )
+                        if mcoef is None and gcoef is None:
+                            add_rhs(vec, None)
+                        elif mcoef is None:
+                            add_rhs(vec, gcoef)
+                        elif gcoef is None:
+                            add_rhs(vec, mcoef)
+                        else:
+                            add_rhs(vec, ProductFunctional(mcoef, gcoef))
+                    continue
                 # penalty part: weighting diffusion only -> coefficient theta_q
                 pen_vec = swipdg_dirichlet_rhs(
                     space, g_fn, dirichlet, weight_lam_fn=wlam, weight_kap_fn=wkap,
@@ -221,17 +264,36 @@ class SWIPDGDiscretization(StationaryDiscretization):
                 )
             )
         if "penalty" in products_wanted:
-            ibp, bbp = swipdg_face_blocks(
-                space, wlam, wkap, interior, dirichlet,
-                sigma_i=self.sigma_inner, sigma_b=self.sigma_boundary, beta=self.beta,
-                penalty_only=True,
-            )
             nd = space.shape_count
-            products["penalty"] = AffineDecomposition(
-                affine_part=assemble_swipdg_matrix(
-                    space, jnp.zeros((grid.num_cells, nd, nd)), ibp, bbp, pattern
+            if scheme == "reference":
+                # per-component self-weighted penalty (SwipdgPenaltyAssemblable
+                # per diffusion component, swipdg.hh:448-481)
+                penalty = AffineDecomposition()
+                for (lam_fn, kap_fn), coef in _parts(pairs):
+                    ibp, bbp = swipdg_face_blocks(
+                        space, lam_fn, kap_fn, interior, dirichlet,
+                        sigma_i=self.sigma_inner, sigma_b=self.sigma_boundary,
+                        beta=self.beta, penalty_only=True,
+                    )
+                    m = assemble_swipdg_matrix(
+                        space, jnp.zeros((grid.num_cells, nd, nd)), ibp, bbp, pattern
+                    )
+                    if coef is None:
+                        penalty.register_affine_part(m)
+                    else:
+                        penalty.register_component(m, coef)
+                products["penalty"] = penalty
+            else:
+                ibp, bbp = swipdg_face_blocks(
+                    space, wlam, wkap, interior, dirichlet,
+                    sigma_i=self.sigma_inner, sigma_b=self.sigma_boundary, beta=self.beta,
+                    penalty_only=True,
                 )
-            )
+                products["penalty"] = AffineDecomposition(
+                    affine_part=assemble_swipdg_matrix(
+                        space, jnp.zeros((grid.num_cells, nd, nd)), ibp, bbp, pattern
+                    )
+                )
         if "energy" in products_wanted:
             products["energy"] = AffineDecomposition(
                 list(operator.components), list(operator.coefficients), operator.affine_part

@@ -177,7 +177,12 @@ class BlockSWIPDGEstimators:
             star = type_.endswith("_*")
             problem = block_disc.problem
             a_bar, g_bar, a_hat, g_hat = cls._factors(problem, parameters)
-            gamma_tilde = max(math.sqrt(g_hat), 1.0 / math.sqrt(a_hat))
+            # plain: gamma_tilde = max(sqrt(gamma_hat), 1/sqrt(alpha_hat))
+            # (block-swipdg.hh:786); star: 1/sqrt(alpha_hat) (:968-971)
+            df_factor = (
+                1.0 / math.sqrt(a_hat) if star
+                else max(math.sqrt(g_hat), 1.0 / math.sqrt(a_hat))
+            )
             nc = cls._component_subdomain_squares(block_disc, u, "eta_NC_OS2014", parameters)
             r = cls._component_subdomain_squares(
                 block_disc, u, "eta_R_OS2014_*" if star else "eta_R_OS2014", parameters
@@ -188,7 +193,7 @@ class BlockSWIPDGEstimators:
             return (1.0 / math.sqrt(a_bar)) * (
                 math.sqrt(g_bar) * float(jnp.sqrt(jnp.sum(nc)))
                 + float(jnp.sqrt(jnp.sum(r)))
-                + gamma_tilde * float(jnp.sqrt(jnp.sum(df)))
+                + df_factor * float(jnp.sqrt(jnp.sum(df)))
             )
         vals = cls._component_subdomain_squares(block_disc, u, type_, parameters)
         return float(jnp.sqrt(jnp.sum(vals)))
@@ -213,18 +218,13 @@ class BlockSWIPDGEstimators:
         combined types, 3/sqrt(alpha) (sqrt(gamma) nc_T^2 + r_T^2 +
         gamma_tilde df_T^2) / eta^2."""
         parameters = dict(parameters or {})
-        if type_ in ("eta_OS2014", "eta_OS2014_*"):
-            star = type_.endswith("_*")
+        if type_ == "eta_OS2014":
             problem = block_disc.problem
             a_bar, g_bar, a_hat, g_hat = cls._factors(problem, parameters)
             gamma_tilde = max(math.sqrt(g_hat), 1.0 / math.sqrt(a_hat))
             nc = cls._component_subdomain_squares(block_disc, u, "eta_NC_OS2014", parameters)
-            r = cls._component_subdomain_squares(
-                block_disc, u, "eta_R_OS2014_*" if star else "eta_R_OS2014", parameters
-            )
-            df = cls._component_subdomain_squares(
-                block_disc, u, "eta_DF_OS2014_*" if star else "eta_DF_OS2014", parameters
-            )
+            r = cls._component_subdomain_squares(block_disc, u, "eta_R_OS2014", parameters)
+            df = cls._component_subdomain_squares(block_disc, u, "eta_DF_OS2014", parameters)
             indicators = (3.0 / math.sqrt(a_bar)) * (
                 math.sqrt(g_bar) * nc + r + gamma_tilde * df
             )
@@ -237,5 +237,19 @@ class BlockSWIPDGEstimators:
                 )
             ) ** 2
             return np.asarray(indicators / eta_sq)
+        if type_ == "eta_OS2014_*":
+            # the reference's star indicators are sqrt(3/sqrt(alpha_bar) *
+            # (sqrt(gamma_bar) nc_T^2 + r_T^2 + sqrt(alpha_hat) df_T^2)) and
+            # are NOT normalized by eta^2 (block-swipdg.hh:1043-1063)
+            problem = block_disc.problem
+            a_bar, g_bar, a_hat, g_hat = cls._factors(problem, parameters)
+            nc = cls._component_subdomain_squares(block_disc, u, "eta_NC_OS2014", parameters)
+            r = cls._component_subdomain_squares(block_disc, u, "eta_R_OS2014_*", parameters)
+            df = cls._component_subdomain_squares(block_disc, u, "eta_DF_OS2014_*", parameters)
+            indicators = jnp.sqrt(
+                (3.0 / math.sqrt(a_bar))
+                * (math.sqrt(g_bar) * nc + r + math.sqrt(a_hat) * df)
+            )
+            return np.asarray(indicators)
         vals = cls._component_subdomain_squares(block_disc, u, type_, parameters)
         return np.asarray(vals / jnp.sum(vals))

@@ -149,8 +149,10 @@ def rt0_flux_reconstruction(
         u_p, f_p, d_p = _side_data(space, grid.face_cells[interior, 1], qp, u,
                                    lam_fn, kap_fn, n, weight_lam_fn, weight_kap_fn)
         denom = d_m + d_p
-        w_m, w_p = d_p / denom, d_m / denom
-        gamma = d_m * d_p / denom
+        zero = denom == 0
+        safe = jnp.where(zero, 1.0, denom)
+        w_m, w_p = jnp.where(zero, 0.5, d_p / safe), jnp.where(zero, 0.5, d_m / safe)
+        gamma = jnp.where(zero, 0.0, d_m * d_p / safe)
         pen = sigma_i * gamma / (h[:, None] ** beta)
         tn = -(w_m * f_m + w_p * f_p) + pen * (u_m - u_p)
         mean_flux = mean_flux.at[jnp.asarray(interior)].set(
@@ -241,18 +243,11 @@ class SWIPDGEstimators:
         )
         lam_hat = freeze_function(frozen_hat.diffusion_factor)
         kap_hat = freeze_function(frozen_hat.diffusion_tensor)
-        # the scheme's penalty diffusion (SWIPDGDiscretization's penalty_mu
-        # convention: all-ones) for a flux reconstruction that matches the
-        # assembled numerical flux; identical to (lam, kap) if nonparametric
-        if problem.parametric():
-            import jax.numpy as _jnp
-
-            ones = {k: _jnp.ones(v) for k, v in problem.parameter_type.items()}
-            wfrozen = problem.with_mu(ones)
-            wlam = freeze_function(wfrozen.diffusion_factor)
-            wkap = freeze_function(wfrozen.diffusion_tensor)
-        else:
-            wlam, wkap = lam, kap
+        # the flux reconstruction's weighting diffusion is the mu-frozen
+        # diffusion itself (the reference reconstructs with
+        # problem.with_mu(mu)'s affine part, estimators/block-swipdg.hh:
+        # 428-434, 676-684 — i.e. self-weighted at the frozen parameter)
+        wlam, wkap = lam, kap
         force = freeze_function(frozen.force)
         g_d = freeze_function(frozen.dirichlet)
         g_n = freeze_function(frozen.neumann)

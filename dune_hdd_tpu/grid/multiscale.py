@@ -123,15 +123,14 @@ class MultiscaleGrid:
 
     def subdomain_diameter(self, ss: int) -> float:
         """Max vertex distance within the subdomain (the OS2014 residual
-        weighting, block-swipdg.hh finalize()); computed via the convex hull
-        trick: diameter of the vertex bounding set via pairwise max over the
-        cell vertices (exact for our axis-aligned partitions)."""
+        weighting, block-swipdg.hh finalize()): the bounding-box diagonal,
+        which is exact for the axis-aligned rectangular partitions this grid
+        produces and O(n) in the vertex count (a full pairwise distance
+        matrix needs O(n^2) memory and OOMs for coarse partitionings of fine
+        grids, e.g. [1 1 1] on 512x512)."""
         verts = self.grid.cell_vertices[self.cells(ss)].reshape(-1, 2)
-        # exact pairwise max on the hull candidates (min/max corners suffice
-        # for convex axis-aligned unions; do full pairwise on the boundary set)
-        uniq = np.unique(verts, axis=0)
-        d2 = np.sum((uniq[:, None, :] - uniq[None, :, :]) ** 2, axis=-1)
-        return float(np.sqrt(d2.max()))
+        extent = verts.max(axis=0) - verts.min(axis=0)
+        return float(np.sqrt(np.sum(extent**2)))
 
     def __repr__(self):
         return (

@@ -71,6 +71,21 @@ def solve(
     maxiter = int(opts.get("max_iter", 10000))
 
     if base == "direct":
+        if matrix.pattern.shape[0] > 4096:
+            # sparse LU on the host (reference-level solves; the reference
+            # reaches SuperLU through the same "direct" option,
+            # base.hh:327-367) — densifying would be O(N^2) memory
+            import scipy.sparse as _sp
+            import scipy.sparse.linalg as _spla
+
+            p = matrix.pattern
+            A = _sp.csc_matrix(
+                (np.asarray(matrix.values, dtype=np.float64),
+                 (p.slot_rows, p.slot_cols)),
+                shape=p.shape,
+            )
+            x = _spla.spsolve(A, np.asarray(rhs, dtype=np.float64))
+            return jnp.asarray(x, dtype=rhs.dtype)
         return jnp.linalg.solve(matrix.to_dense(), rhs)
 
     M = make_preconditioner(matrix, precond) if precond else None

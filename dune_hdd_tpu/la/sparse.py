@@ -25,7 +25,7 @@ import numpy as np
 __all__ = ["SparsityPattern", "SparseMatrix", "build_pattern"]
 
 
-@dataclass(frozen=True)
+@dataclass(frozen=True, eq=False)  # identity equality: patterns are shared
 class SparsityPattern:
     """Host-built static structure mapping raw (possibly duplicate) COO
     entries to deduplicated slots and an ELL layout."""

@@ -145,6 +145,10 @@ def elliptic_cell_matrices(
     """[NC, nd, nd] local stiffness: int lam (kappa grad phi_j) . grad phi_i
     (EllipticCG/EllipticSWIPDG volume kernel, cg.hh:223-247)."""
     grid = space.grid
+    # GDT integrand order (coefficient orders + gradient orders p-1) plus 2
+    # over-integration: the published parametric values were shown to be
+    # insensitive to this (orders 3->12 move eta_DF by <0.2%, docs/DESIGN.md
+    # section 3.2), so we lock the better-converged choice
     qorder = order if order is not None else diffusion_factor.order + diffusion_tensor.order + 2 * (space.order - 1) + 2
     qp, qw = cell_quadrature(grid, qorder)
     grads = cell_shape_gradients(space, qorder)  # [NC, k, nd, 2]

@@ -22,12 +22,14 @@ pen_b = sigma_boundary(p) * delta^- / |e|^beta.  Constants follow dune-gdt's
 SIPDG internals: beta = 1/(d-1), sigma_inner(1) = 8, sigma_boundary(1) = 14
 (referenced at swipdg.hh:168 via LocalEvaluation::SWIPDG::internal::default_beta).
 
-Weighting/penalty diffusion may differ from the flux diffusion: for affine
-parametric problems the flux terms use each affine component (linear), while
-weights and penalties are taken from a fixed reference diffusion so the
-operator decomposition stays exactly affine and positive (the reference
-instead builds one self-weighted SWIPDG operator per component, which is the
-same thing for nonparametric problems).
+Weighting/penalty diffusion may differ from the flux diffusion.  Two affine
+parametric conventions are built on this kernel (discretizations/swipdg.py):
+the reference's per-component *self-weighted* operators (weights/penalty from
+each component's own diffusion, swipdg.hh:222-249 — the default, reproducing
+the published parametric tables), and a penalty-frozen variant where flux
+terms use each affine component (flux_only) while weights and penalties come
+from a fixed reference diffusion so every component stays positive.  Both
+coincide for nonparametric problems.
 """
 from __future__ import annotations
 
@@ -151,6 +153,9 @@ def swipdg_face_blocks(
     sigma_i = inner_sigma(space.order) if sigma_i is None else sigma_i
     sigma_b = boundary_sigma(space.order) if sigma_b is None else sigma_b
     beta = default_beta(2) if beta is None else beta
+    # GDT integrand order (coefficient + test + ansatz) plus 1 extra — see
+    # ops/assembly.elliptic_cell_matrices on why the converged choice is
+    # locked over exact GDT-order replication
     qorder = qorder if qorder is not None else 2 * space.order + max(lam_fn.order, wlam.order) + 1
     nd = space.shape_count
 
@@ -161,10 +166,17 @@ def swipdg_face_blocks(
         cin, cout = grid.face_cells[fi, 0], grid.face_cells[fi, 1]
         vals_m, flux_m, delta_m = _side_quantities(space, cin, qp, lam_fn, kap_fn, wlam, wkap, n)
         vals_p, flux_p, delta_p = _side_quantities(space, cout, qp, lam_fn, kap_fn, wlam, wkap, n)
+        # Guard delta_m + delta_p == 0 (exact zeros happen when a component
+        # diffusion vanishes on both sides of a face, e.g. checkerboard /
+        # channel indicator components under the reference's per-component
+        # self-weighted scheme, swipdg.hh:222-249): the limit contribution is
+        # zero — gamma -> 0 and the weighted flux vanishes with the component.
         denom = delta_m + delta_p
-        w_m = delta_p / denom  # weight of the inside flux
-        w_p = delta_m / denom
-        gamma = delta_m * delta_p / denom
+        zero = denom == 0
+        safe = jnp.where(zero, 1.0, denom)
+        w_m = jnp.where(zero, 0.5, delta_p / safe)  # weight of the inside flux
+        w_p = jnp.where(zero, 0.5, delta_m / safe)
+        gamma = jnp.where(zero, 0.0, delta_m * delta_p / safe)
         pen = sigma_i * gamma / (h[:, None] ** beta)  # [F, k]
 
         vals = (vals_m, vals_p)

@@ -110,21 +110,32 @@ for _part in ("[1 1 1]", "[2 2 1]", "[4 4 1]", "[8 8 1]"):
     })
 
 # ---------------------------------------------------------------------------
-# BlockSWIPDG, OS2014 parametric, [4 4 1] — RECORDED with this framework
-# (penalty_mu deviation, see docs/DESIGN.md; exact at mu=1, within 5% of the reference
-# parametric tables, .._os2014_2daluconform.cxx:95-190).
+# BlockSWIPDG, OS2014 parametric, [4 4 1] — the reference's per-component
+# self-weighted scheme (swipdg.hh:222-249).  At mu = 1 these REPRODUCE the
+# reference parametric tables (.._os2014_2daluconform.cxx:95-190) exactly
+# (3-digit rounding), including eta_OS2014_* with components-only
+# alpha/gamma; at mu != 1 the published values deviate 3-8% (see
+# docs/DESIGN.md — our values are quadrature-converged; the deviation was
+# bracketed over quadrature rules/orders and weighting conventions).
 record("OS2014.block.[4 4 1].mu0.1_bar0.1_hat0.1", "alu_conforming", 1, {
-    "eta_DF_OS2014": [1.26608, 0.736650],
-    "eta_DF_OS2014_*": [1.26608, 0.736650],
-    "eta_OS2014": [2.01309, 1.17973],
+    "eta_DF_OS2014": [1.16913, 0.68621],
+    "eta_DF_OS2014_*": [1.16913, 0.68621],
+    "eta_OS2014": [1.90907, 1.11173],
 })
 record("OS2014.block.[4 4 1].mu1_bar1_hat0.1", "alu_conforming", 1, {
-    "eta_DF_OS2014": [1.35747, 1.33230],  # == reference exactly (mu = 1)
-    "eta_DF_OS2014_*": [0.413065, 0.204837],
-    "eta_OS2014": [4.71077, 4.41936],
+    "eta_DF_OS2014": [1.35774, 1.33231],  # == reference exactly (mu = 1)
+    "eta_DF_OS2014_*": [0.413058, 0.204837],
+    "eta_OS2014": [4.71208, 4.41939],
+    "eta_OS2014_*": [0.549155, 0.271049],
+})
+record("OS2014.block.[4 4 1].mu1_bar1_hat1", "alu_conforming", 1, {
+    "eta_DF_OS2014": [0.354808, 0.175709],  # == reference exactly (mu = 1)
+    "eta_DF_OS2014_*": [0.354808, 0.175709],
+    "eta_OS2014": [0.773342, 0.381983],
+    "eta_OS2014_*": [0.773342, 0.381983],
 })
 record("OS2014.block.[4 4 1].mu0.1_bar0.1_hat1", "alu_conforming", 1, {
-    "eta_DF_OS2014": [1.06433, 1.21490],
-    "eta_DF_OS2014_*": [1.18629, 0.689966],
-    "eta_OS2014": [4.11271, 4.28493],
+    "eta_DF_OS2014": [0.900929, 1.15947],
+    "eta_DF_OS2014_*": [0.998228, 0.596825],
+    "eta_OS2014": [3.58893, 4.09209],
 })

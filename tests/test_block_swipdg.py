@@ -79,6 +79,36 @@ def test_global_equals_sum_of_blocks(block_disc):
     np.testing.assert_allclose(B, A, atol=1e-10)
 
 
+@pytest.mark.parametrize("scheme", ["reference", "penalty_mu"])
+@pytest.mark.parametrize("mu_val", [1.0, 0.3])
+def test_global_equals_sum_of_blocks_parametric(scheme, mu_val):
+    """The LRBMS decomposition identity must hold for every mu and both
+    parametric schemes (the round-1 coupling operator counted the fixed
+    penalty once per affine component, breaking this away from mu=1)."""
+    from dune_hdd_tpu.problems import ThermalblockProblem
+
+    grid = alu_cube_grid((0, 0), (1, 1), (4, 4), refinements=2)
+    d = BlockSWIPDGDiscretization(
+        grid, BI, ThermalblockProblem((2, 2)), num_partitions=(2, 2), scheme=scheme,
+    )
+    mu = {"diffusion_factor": jnp.array([mu_val, 1.0, 0.5, 2.0])}
+    A = np.asarray(d.freeze_operator(mu).to_dense())
+    B = np.zeros_like(A)
+    for ss in range(d.num_subdomains()):
+        dofs = d._local_dof_map(ss)
+        B[np.ix_(dofs, dofs)] += np.asarray(d.get_local_operator(ss).freeze(mu).to_dense())
+        for nn in d.neighbouring_subdomains(ss):
+            if nn <= ss:
+                continue
+            cop = d.get_coupling_operator(ss, int(nn)).freeze(mu)
+            dn = d._local_dof_map(int(nn))
+            B[np.ix_(dofs, dofs)] += np.asarray(cop.in_in.to_dense())
+            B[np.ix_(dofs, dn)] += np.asarray(cop.in_out.to_dense())
+            B[np.ix_(dn, dofs)] += np.asarray(cop.out_in.to_dense())
+            B[np.ix_(dn, dn)] += np.asarray(cop.out_out.to_dense())
+    np.testing.assert_allclose(B, A, atol=1e-10)
+
+
 def test_global_rhs_equals_sum_of_local(block_disc):
     d = block_disc
     b = np.asarray(d.freeze_rhs({}))

@@ -18,8 +18,11 @@ def test_localization_esv2007_symmetric():
     d = BlockSWIPDGDiscretization(g, BI, ESV2007Problem(), num_partitions=(2, 2))
     u = d.solve(options={"type": "direct"})
     est, true, corr = localization_study(d, u, Testcase1ExactSolution())
-    np.testing.assert_allclose(true, 0.25, rtol=1e-8)
-    np.testing.assert_allclose(est, 0.25, rtol=1e-8)
+    # rtol 1e-6: dune's conical quadrature rules are not symmetric under
+    # the triangle symmetries, so the four quadrants differ by the (tiny)
+    # quadrature error of the non-polynomial force
+    np.testing.assert_allclose(true, 0.25, rtol=1e-6)
+    np.testing.assert_allclose(est, 0.25, rtol=1e-6)
 
 
 def test_localization_orders_asymmetric_error():

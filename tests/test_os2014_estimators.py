@@ -57,7 +57,9 @@ def test_os2014_estimate_local_per_subdomain():
     assert (ind > 0).all()
     # reference scaling: sum of indicators ~ 3 * (sum of squares terms)/eta^2;
     # for the symmetric ESV2007 problem all four subdomains contribute equally
-    np.testing.assert_allclose(ind, ind[0], rtol=1e-10)
+    # (up to quadrature error of the non-polynomial force: dune's conical
+    # rules are not symmetric under the triangle symmetries)
+    np.testing.assert_allclose(ind, ind[0], rtol=1e-5)
 
 
 def test_unknown_type_rejected():

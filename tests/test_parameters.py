@@ -87,6 +87,12 @@ def test_coefficient_bounds():
         coefficients=[ParameterFunctional(("mu", 1), "mu")],
         affine_part=jnp.ones(1),
     )
+    # dune-pymor semantics: min/max of theta ratios over the COMPONENTS only
+    # (the affine part is excluded — pinned from the published eta_OS2014_*
+    # tables, see affine.coefficient_bounds)
     alpha, gamma = coefficient_bounds(dec, {"mu": jnp.array([0.5])}, {"mu": jnp.array([1.0])})
     assert float(alpha) == pytest.approx(0.5)
-    assert float(gamma) == pytest.approx(1.0)
+    assert float(gamma) == pytest.approx(0.5)
+    alpha, gamma = coefficient_bounds(dec, {"mu": jnp.array([1.0])}, {"mu": jnp.array([0.1])})
+    assert float(alpha) == pytest.approx(10.0)
+    assert float(gamma) == pytest.approx(10.0)
