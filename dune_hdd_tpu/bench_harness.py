@@ -55,13 +55,22 @@ def _field_tensor_function(field: jnp.ndarray) -> LambdaFunction:
 
 def build_spe10_bench(bisections: int = 4, maxiter: int = 300,
                       tol: float = 1e-5, dtype=jnp.float32,
-                      preconditioner: str = "block_jacobi"):
+                      preconditioner: str = "block_jacobi",
+                      inner_iters: int = 150):
     """Returns (jitted_fn, example_field, num_dofs).  preconditioner:
-    "block_jacobi" (default) or "mg" (geometric multigrid V-cycle over the
-    bisection hierarchy — much better convergence, but currently compiles
-    pathologically slowly through the axon TPU tunnel; validated on CPU,
-    see tests/test_multigrid.py).  KNOWN ISSUE to revisit: MG-on-axon
-    compile time."""
+
+    * "deflation" — the contrast-robust production path: float32 assembly +
+      two-level deflation (aggregates aligned with the 100x20 macro
+      permeability grid, la/deflation.py) inside float64 iterative
+      refinement; converges to a TRUE 1e-6 relative residual.  Requires
+      jax_enable_x64 (the outer residual runs in emulated f64 on TPU; the
+      per-iteration work stays f32).
+    * "block_jacobi" — plain block-Jacobi CG (fixed-iteration throughput
+      measurements; does not converge on the 1e6-contrast field in f32).
+    * "mg" — geometric multigrid V-cycle over the bisection hierarchy
+      (validated on CPU; compiles pathologically slowly through the axon
+      TPU tunnel).
+    """
     # MG levels at every 2nd bisection (one halving per level)
     grids = [
         alu_cube_grid((0.0, 0.0), (5.0, 1.0), (100, 20), refinements=b)
@@ -88,6 +97,14 @@ def build_spe10_bench(bisections: int = 4, maxiter: int = 300,
     interior = np.nonzero(grid.interior_faces)[0]
     dirichlet = np.nonzero(binfo.dirichlet_faces)[0]
 
+    if preconditioner == "deflation":
+        from .la.deflation import aggregate_map_from_points, refined_deflated_solve
+
+        cell_agg = aggregate_map_from_points(
+            grid.cell_centroids, (0.0, 0.0), (5.0, 1.0), (MODEL1_NX, MODEL1_NZ)
+        )
+        n_agg = MODEL1_NX * MODEL1_NZ
+
     def assemble_and_solve(field):
         tensor = _field_tensor_function(field)
         vol = elliptic_cell_matrices(space, diffusion_factor, tensor)
@@ -99,6 +116,15 @@ def build_spe10_bench(bisections: int = 4, maxiter: int = 300,
         # symmetric diagonal scaling: keeps the f32 Krylov iteration stable
         # on the 1e6-contrast field
         A_s, b_s, s = symmetric_diagonal_scaling(A, b)
+        if preconditioner == "deflation":
+            from .la.block_ell import BlockEllMatrix
+
+            A32 = BlockEllMatrix(A_s.neighbors, A_s.blocks.astype(jnp.float32))
+            u_s, res = refined_deflated_solve(
+                A32, b_s.astype(jnp.float32), cell_agg, n_agg, tol=tol,
+                inner_iters=inner_iters,
+            )
+            return u_s * s.astype(u_s.dtype), res
         M = None
         if preconditioner == "mg":
             hierarchy = MultigridHierarchy(grids, A_s, pre=3, post=3)

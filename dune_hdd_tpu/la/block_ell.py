@@ -53,7 +53,12 @@ class BlockEllMatrix:
         nc, nd = self.num_cells, self.nd
         xc = x.reshape(nc, nd)
         xg = xc[self.neighbors]  # [NC, B, nd] — coalesced nd-wide rows
-        y = jnp.einsum("cbij,cbj->ci", self.blocks, xg)
+        # HIGHEST precision: TPU's default f32 dot runs a single bf16 pass,
+        # whose ~1e-3 products stall Krylov convergence at high contrast;
+        # the matvec is bandwidth-bound (12 MACs/element), so exact-f32
+        # accumulation is free in wall-clock
+        y = jnp.einsum("cbij,cbj->ci", self.blocks, xg,
+                       precision=jax.lax.Precision.HIGHEST)
         return y.reshape(-1)
 
     __matmul__ = matvec
@@ -190,7 +195,8 @@ def block_jacobi_preconditioner(matrix: BlockEllMatrix):
 
     def apply(r):
         rc = r.reshape(-1, nd)
-        return jnp.einsum("cij,cj->ci", inv, rc).reshape(-1)
+        return jnp.einsum("cij,cj->ci", inv, rc,
+                          precision=jax.lax.Precision.HIGHEST).reshape(-1)
 
     return apply
 
