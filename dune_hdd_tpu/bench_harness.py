@@ -98,14 +98,20 @@ def build_spe10_bench(bisections: int = 4, maxiter: int = 300,
     dirichlet = np.nonzero(binfo.dirichlet_faces)[0]
 
     if preconditioner == "deflation":
-        from .la.deflation import aggregate_map_from_points, refined_deflated_solve
+        from .grid.structured_order import structured_cell_order
+        from .la.deflation import (
+            aggregate_map_from_points,
+            refined_deflated_solve,
+            structured_deflation_preconditioner,
+        )
 
         cell_agg = aggregate_map_from_points(
             grid.cell_centroids, (0.0, 0.0), (5.0, 1.0), (MODEL1_NX, MODEL1_NZ)
         )
         n_agg = MODEL1_NX * MODEL1_NZ
+        order = structured_cell_order(grid, (0.0, 0.0), (5.0, 1.0))
 
-    def assemble_and_solve(field):
+    def assemble(field):
         tensor = _field_tensor_function(field)
         vol = elliptic_cell_matrices(space, diffusion_factor, tensor)
         ib, bb = swipdg_face_blocks(
@@ -115,16 +121,56 @@ def build_spe10_bench(bisections: int = 4, maxiter: int = 300,
         b = force_cell_vectors(space, force).reshape(-1)
         # symmetric diagonal scaling: keeps the f32 Krylov iteration stable
         # on the 1e6-contrast field
-        A_s, b_s, s = symmetric_diagonal_scaling(A, b)
-        if preconditioner == "deflation":
-            from .la.block_ell import BlockEllMatrix
+        return symmetric_diagonal_scaling(A, b)
 
-            A32 = BlockEllMatrix(A_s.neighbors, A_s.blocks.astype(jnp.float32))
-            u_s, res = refined_deflated_solve(
-                A32, b_s.astype(jnp.float32), cell_agg, n_agg, tol=tol,
-                inner_iters=inner_iters,
+    asm_jit = jax.jit(assemble)
+
+    def solve_deflation(A32, b32):
+        # bandwidth-ordered path: permute into structured numbering so the
+        # SpMV is 24 static slices and the macro-cell aggregation is a
+        # reshape-sum (grid/structured_order.py) — the TPU gather/scatter
+        # path runs ~20x below stream bandwidth
+        M = None
+        if order is not None:
+            from .la.block_ell import StructuredBlockEll
+
+            A_st = StructuredBlockEll.from_block_ell(A32, order)
+            perm = jnp.asarray(
+                (np.asarray(order.perm)[:, None] * A32.nd
+                 + np.arange(A32.nd)).reshape(-1)
             )
+            inv_flat = jnp.asarray(
+                (np.asarray(order.inv)[:, None] * A32.nd
+                 + np.arange(A32.nd)).reshape(-1)
+            )
+            b_st = b32[inv_flat]
+            M = structured_deflation_preconditioner(
+                A_st, order, (MODEL1_NX, MODEL1_NZ), coarse_dtype=jnp.float32,
+            )
+            if M is not None:
+                u_st, res = refined_deflated_solve(
+                    A_st, b_st, None, n_agg, tol=tol, inner_iters=inner_iters,
+                    M=M, unroll=4,
+                )
+                return u_st[perm], res
+        return refined_deflated_solve(
+            A32, b32, cell_agg, n_agg, tol=tol, inner_iters=inner_iters,
+        )
+
+    solve_jit = jax.jit(solve_deflation)
+
+    def assemble_and_solve(field):
+        if preconditioner == "deflation":
+            # assembly is pure f32 work (emulated f64 on TPU would cost ~10x
+            # the whole solve); only the refinement loop's outer residual
+            # runs in f64 — trace/call the assembly under a non-x64 scope.
+            # HIGHEST matmul precision: the default bf16 einsum passes would
+            # assemble an asymmetric matrix (1e-3 relative), which breaks CG
+            with jax.enable_x64(False), jax.default_matmul_precision("highest"):
+                A_s, b_s, s = asm_jit(field)
+            u_s, res = solve_jit(A_s, b_s)
             return u_s * s.astype(u_s.dtype), res
+        A_s, b_s, s = asm_jit(field)
         M = None
         if preconditioner == "mg":
             hierarchy = MultigridHierarchy(grids, A_s, pre=3, post=3)
@@ -132,7 +178,7 @@ def build_spe10_bench(bisections: int = 4, maxiter: int = 300,
         u_s, res = block_cg(A_s, b_s, tol=tol, maxiter=maxiter, M=M)
         return u_s * s, res
 
-    fn = jax.jit(assemble_and_solve)
+    fn = assemble_and_solve
     field = jnp.asarray(_synthetic_model1_field(), dtype=dtype)
     return fn, field, num_dofs
 

@@ -50,10 +50,17 @@ def _cacheable(*arrays) -> bool:
     return not any(isinstance(a, jax.core.Tracer) for a in arrays)
 
 
+def _float_tag() -> str:
+    """Ambient default float dtype — part of every cache key so a process
+    that mixes x64 and non-x64 traces (e.g. the bench's f32 assembly inside
+    an f64 refinement solve) never serves a stale-dtype cached array."""
+    return jnp.result_type(float).name
+
+
 def cell_quadrature(grid: Grid, order: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Physical quadrature: points [NC, k, 2], weights [NC, k] (incl. |J|).
     Cached per (grid, order) — shared by every affine component's kernel."""
-    key = ("_cell_quadrature", int(order))
+    key = ("_cell_quadrature", int(order), _float_tag())
     cached = grid.__dict__.get(key)
     if cached is not None:
         return cached
@@ -112,7 +119,7 @@ def face_quadrature(
 
 def cell_shape_values(space: Space, qorder: int) -> jnp.ndarray:
     """[NC, k, nd] basis values at the cell quadrature points (cached)."""
-    key = ("_cell_shape_values", int(qorder))
+    key = ("_cell_shape_values", int(qorder), _float_tag())
     cached = space.__dict__.get(key)
     if cached is not None:
         return cached
@@ -125,7 +132,7 @@ def cell_shape_values(space: Space, qorder: int) -> jnp.ndarray:
 
 def cell_shape_gradients(space: Space, qorder: int) -> jnp.ndarray:
     """[NC, k, nd, 2] basis gradients at the cell quadrature points (cached)."""
-    key = ("_cell_shape_gradients", int(qorder))
+    key = ("_cell_shape_gradients", int(qorder), _float_tag())
     cached = space.__dict__.get(key)
     if cached is not None:
         return cached

@@ -75,8 +75,17 @@ def default_beta(dim: int = 2) -> float:
 def _side_eval(fn, qp, centroids):
     """Evaluate fn at quadrature points shifted slightly towards a cell
     centroid — picks the correct one-sided value for coefficients that jump
-    exactly at faces (checkerboards), perturbs smooth coefficients at 1e-7."""
-    shifted = qp + _SIDE_EPS * (centroids[:, None, :] - qp)
+    exactly at faces (checkerboards / SPE10 macro-cell boundaries).
+
+    The shift must survive rounding: in float32 a 1e-7 relative shift is
+    below ulp(qp) and rounds away entirely, so the side evaluation lands ON
+    the jump and bins to an arbitrary side (at 1e6 contrast that corrupts
+    the face weights by orders of magnitude).  1e-3 relative keeps the
+    absolute perturbation at eps*|centroid-qp| = O(1e-3 h) — far inside the
+    cell, negligible for smooth coefficients, exact for piecewise-constant
+    ones."""
+    eps = _SIDE_EPS if qp.dtype == jnp.float64 else 1e-3
+    shifted = qp + eps * (centroids[:, None, :] - qp)
     return fn(shifted)
 
 
@@ -91,7 +100,9 @@ def _side_shapes(space: Space, cells: np.ndarray, qp: jnp.ndarray):
     """(vals [F,k,nd], grads [F,k,nd,2], centroids [F,2]) for one face side —
     coefficient-independent, cached per (space, face side, #points)."""
     grid = space.grid
-    key = ("_side_shapes", hash(cells.tobytes()), int(qp.shape[1]))
+    from .assembly import _float_tag
+
+    key = ("_side_shapes", hash(cells.tobytes()), int(qp.shape[1]), _float_tag())
     cached = space.__dict__.get(key)
     if cached is not None:
         return cached
