@@ -9,6 +9,8 @@ from .greedy import (
 )
 from .io import load_reduced_model, save_reduced_model
 from .reductor import RBReductor, ReducedModel
+from .pymor_shim import StationaryModelShim, as_pymor_model
+from .residual import OnlineResidual, RieszResidualEstimator, min_theta_coercivity
 
 __all__ = [
     "AdaptiveResult",
@@ -25,4 +27,9 @@ __all__ = [
     "save_reduced_model",
     "load_reduced_model",
     "ReducedModel",
+    "RieszResidualEstimator",
+    "OnlineResidual",
+    "min_theta_coercivity",
+    "as_pymor_model",
+    "StationaryModelShim",
 ]

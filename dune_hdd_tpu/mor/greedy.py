@@ -78,24 +78,43 @@ def greedy_rb(
     max_extensions: int = 20,
     extension_algorithm: str = "gram_schmidt",
     error_norm: str = "h1_semi",
-    use_estimator: bool = False,
+    use_estimator=False,
     solver_options: Optional[dict] = None,
     verbose: bool = False,
+    coercivity=None,
 ) -> GreedyResult:
     """Weak greedy: pick the worst-approximated training parameter, extend
     the basis with its (orthonormalized) snapshot, stop at target_error or
-    max_extensions (thermalblock_main.py:126-170 semantics)."""
+    max_extensions (thermalblock_main.py:126-170 semantics).
+
+    use_estimator: False -> detailed solve + true error per candidate (slow,
+    exact); True or "riesz" -> offline/online Riesz residual estimator
+    (mor/residual.py, the pyMOR-reductor semantics of the reference
+    workflow: O(Q^2 n^2) per candidate, no detailed solves); "algebraic" ->
+    the O(N) Euclidean residual surrogate."""
     reductor = RBReductor(discretization)
     product = discretization.product_matrix(error_norm)
+    estimator = None
+    online = None
+    if use_estimator in (True, "riesz"):
+        from .residual import RieszResidualEstimator
+
+        estimator = RieszResidualEstimator(
+            discretization, product=error_norm, coercivity=coercivity
+        )
     basis = jnp.zeros((0, discretization.space.num_dofs))
     rm = reductor.reduce(basis)
+    if estimator is not None:
+        online = estimator.offline(basis)
     result = GreedyResult(rm, basis)
     for it in range(max_extensions + 1):
         errors = []
         for mu in training_set:
-            if rm.dim == 0:
+            if rm.dim == 0 and estimator is None:
                 e = float("inf")
-            elif use_estimator:
+            elif estimator is not None:
+                e = online.estimate(mu, rm.solve(mu) if rm.dim else jnp.zeros((0,)))
+            elif use_estimator == "algebraic":
                 e = reductor.residual_norm(rm, mu)
             else:
                 e = reductor.true_error(rm, mu, error_norm, solver_options)
@@ -112,6 +131,8 @@ def greedy_rb(
         snapshot = discretization.solve(mu, options=solver_options or {"type": "direct"})
         basis = _extend(basis, snapshot, extension_algorithm, product)
         rm = reductor.reduce(basis)
+        if estimator is not None:
+            online = estimator.offline(basis)
         result.extensions += 1
     result.reduced_model = rm
     result.basis = basis

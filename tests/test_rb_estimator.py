@@ -1,0 +1,122 @@
+"""Offline/online Riesz residual estimator (mor/residual.py).
+
+Reference workflow analog: thermalblock_main.py:82-188 greedy via pyMOR's
+coercive RB reductor (estimator-driven, no detailed solves per candidate)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dune_hdd_tpu.discretizations import SWIPDGDiscretization
+from dune_hdd_tpu.grid import alu_cube_grid
+from dune_hdd_tpu.mor import (
+    RBReductor,
+    RieszResidualEstimator,
+    greedy_rb,
+    min_theta_coercivity,
+    sample_randomly,
+)
+from dune_hdd_tpu.problems import ThermalblockProblem
+
+BI = {"type": "stuff.grid.boundaryinfo.alldirichlet"}
+
+
+@pytest.fixture(scope="module")
+def tb_disc():
+    grid = alu_cube_grid((0, 0), (1, 1), (4, 4), refinements=2)
+    return SWIPDGDiscretization(grid, BI, ThermalblockProblem((2, 2)))
+
+
+def test_estimator_matches_direct_riesz_norm(tb_disc):
+    """eta(mu) from the Gramians == ||P^{-1} r(mu)||_P computed directly."""
+    d = tb_disc
+    training = sample_randomly(d.parameter_type, 0.1, 1.0, 4, seed=7)
+    # a 2-vector basis from two snapshots
+    from dune_hdd_tpu.mor import gram_schmidt
+
+    product = d.product_matrix("h1_semi")
+    snaps = jnp.stack([d.solve(mu, options={"type": "direct"}) for mu in training[:2]])
+    basis = gram_schmidt(snaps, product)
+    est = RieszResidualEstimator(d, product="h1_semi")
+    online = est.offline(basis)
+    reductor = RBReductor(d)
+    rm = reductor.reduce(basis)
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+
+    p = product.pattern
+    P = sp.csc_matrix(
+        (np.asarray(product.values, dtype=np.float64), (p.slot_rows, p.slot_cols)),
+        shape=p.shape,
+    )
+    P = P + sp.identity(p.shape[0], format="csc") * (
+        1e-12 * float(np.abs(P.diagonal()).max())
+    )
+    lu = spla.splu(P)
+    for mu in training[2:]:
+        c = rm.solve(mu)
+        u_rb = rm.reconstruct(c)
+        A = d.freeze_operator(mu)
+        b = d.freeze_rhs(mu)
+        r = np.asarray(b - A.matvec(u_rb), dtype=np.float64)
+        rho = lu.solve(r)
+        eta_direct = float(np.sqrt(max(rho @ r, 0.0)))
+        eta = online.estimate(mu, c)
+        assert eta == pytest.approx(eta_direct, rel=1e-6, abs=1e-12)
+
+
+def test_estimator_greedy_matches_true_error_greedy(tb_disc):
+    """The estimator-driven greedy must reach the same approximation quality
+    as the true-error greedy on the 2x2 thermalblock (selection order may
+    differ on the empty basis / near-ties, but the trained model's true
+    errors must be comparable)."""
+    d = tb_disc
+    training = sample_randomly(d.parameter_type, 0.1, 1.0, 6, seed=5)
+    res_true = greedy_rb(d, training, target_error=1e-8, max_extensions=4)
+    res_est = greedy_rb(d, training, target_error=1e-8, max_extensions=4,
+                        use_estimator=True)
+    reductor = RBReductor(d)
+    worst_true = max(
+        reductor.true_error(res_true.reduced_model, mu) for mu in training
+    )
+    worst_est = max(
+        reductor.true_error(res_est.reduced_model, mu) for mu in training
+    )
+    # estimator-driven training is as good (within a small factor) without
+    # any detailed solves during candidate scoring
+    assert worst_est <= max(10.0 * worst_true, 1e-8), (worst_est, worst_true)
+    # and the estimator reports the worst candidate consistently: its final
+    # max estimate dominates the true worst error up to effectivity (only
+    # meaningful above the round-off floor)
+    if worst_est > 1e-10:
+        assert res_est.max_errors[-1] >= 0.2 * worst_est
+
+
+def test_estimator_effectivity(tb_disc):
+    """With the min-theta coercivity bound w.r.t. the energy product at
+    mu_bar, eta/||e|| stays within a modest band (rigorous upper bound,
+    bounded overestimation)."""
+    d = tb_disc
+    training = sample_randomly(d.parameter_type, 0.1, 1.0, 6, seed=3)
+    mu_bar = {"diffusion_factor": jnp.full(4, 1.0)}
+    op = d.get_operator().with_expanded_affine_part()
+    coer = min_theta_coercivity(op, d.problem.parse_parameter(mu_bar))
+    res = greedy_rb(d, training, target_error=1e-4, max_extensions=3,
+                    use_estimator=True)
+    # energy product is parametric -> estimator needs mu_bar
+    est = RieszResidualEstimator(d, product="energy", mu_bar=mu_bar, coercivity=coer)
+    online = est.offline(res.basis)
+    reductor = RBReductor(d)
+    rm = reductor.reduce(res.basis)
+    test_mus = sample_randomly(d.parameter_type, 0.1, 1.0, 4, seed=11)
+    for mu in test_mus:
+        c = rm.solve(mu)
+        u = d.solve(mu, options={"type": "direct"})
+        e = u - rm.reconstruct(c)
+        # eta/sqrt(alpha) bounds the error in the energy norm AT mu:
+        # a_mu(e,e) = r(e) <= ||rho||_mubar ||e||_mubar <= ||rho|| ||e||_mu/sqrt(alpha)
+        pm = d.get_product("energy").freeze(d.problem.parse_parameter(mu))
+        err = float(jnp.sqrt(jnp.maximum(e @ pm.matvec(e), 0.0)))
+        eta = online.estimate(mu, c)
+        if err > 1e-10:
+            eff = eta / err
+            assert 0.99 <= eff <= 50.0, (eta, err, eff)
