@@ -354,20 +354,60 @@ class BlockSWIPDGDiscretization(StationaryDiscretization):
             self._oversampled[key] = disc
         return self._oversampled[key]
 
-    def as_sharded(self, mesh=None, dtype=None):
-        """Lay the affine system out on a device mesh (parallel/sharded.py):
-        the subdomain axis becomes the "domain" mesh axis — the TPU execution
-        of the reference's (sequential) domain decomposition."""
+    def as_sharded(self, mesh=None, dtype=None, halo: bool = True):
+        """Lay the affine system out on a device mesh: the subdomain axis
+        becomes the "domain" mesh axis — the TPU execution of the reference's
+        (sequential) domain decomposition.
+
+        With ``halo=True`` (default) devices own whole subdomains and the
+        SpMV exchanges only coupling-face DoFs via ppermute neighbour rings
+        (parallel/halo.py — the sharded image of the coupling blocks,
+        block-swipdg.hh:308-326); ``halo=False`` falls back to the plain
+        row-split all_gather layout (parallel/sharded.py)."""
         import jax.numpy as jnp
 
+        from ..parallel.halo import HaloShardedSystem
         from ..parallel.sharded import ShardedAffineSystem, make_device_mesh
 
         if mesh is None:
             mesh = make_device_mesh()
-        return ShardedAffineSystem(
+        dtype = dtype or jnp.result_type(float)
+        if not halo:
+            return ShardedAffineSystem(
+                self.get_operator(), self.get_rhs(), mesh, dtype=dtype)
+        return HaloShardedSystem(
             self.get_operator(), self.get_rhs(), mesh,
-            dtype=dtype or jnp.result_type(float),
+            row_blocks=self.subdomain_row_blocks(mesh.shape["domain"]),
+            dtype=dtype,
         )
+
+    def subdomain_row_blocks(self, n_devices: int):
+        """Partition global DoF rows into ``n_devices`` blocks of whole
+        subdomains (greedy balanced by DoF count, contiguous in subdomain
+        id so neighbour subdomains share devices where possible)."""
+        S = self.num_subdomains()
+        if n_devices <= S:
+            sizes = np.asarray(
+                [len(self._local_dof_map(ss)) for ss in range(S)], dtype=np.int64)
+            csum = np.cumsum(sizes)
+            total = int(csum[-1])
+            # subdomain ss -> device floor(csum_mid / (total/n_devices)),
+            # then repair so every device gets at least one subdomain
+            bounds = np.searchsorted(
+                csum - sizes // 2, np.arange(1, n_devices) * total / n_devices)
+            bounds = np.clip(bounds, 1, S - 1)
+            for i in range(1, len(bounds)):  # strictly increasing
+                bounds[i] = max(bounds[i], bounds[i - 1] + 1)
+            groups = np.split(np.arange(S), bounds)
+            return [
+                np.concatenate([self._local_dof_map(ss) for ss in g])
+                for g in groups
+            ]
+        # more devices than subdomains: split the subdomain-ordered DoF
+        # sequence further (per-device comm stays O(halo) — a device owning
+        # part of a subdomain still only references a boundary layer)
+        ordered = np.concatenate([self._local_dof_map(ss) for ss in range(S)])
+        return [np.asarray(c) for c in np.array_split(ordered, n_devices)]
 
     def solve_for_local_correction(self, local_vectors, subdomain: int, mu=None,
                                    options=None) -> jnp.ndarray:

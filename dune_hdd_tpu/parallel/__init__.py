@@ -1,4 +1,5 @@
 from .distributed import initialize_distributed, is_distributed, process_info
+from .halo import HaloShardedSystem, halo_exchange_spec
 from .sharded import (
     ShardedAffineSystem,
     make_device_mesh,
@@ -10,6 +11,8 @@ __all__ = [
     "initialize_distributed",
     "is_distributed",
     "process_info",
+    "HaloShardedSystem",
+    "halo_exchange_spec",
     "ShardedAffineSystem",
     "make_device_mesh",
     "sharded_cg",
