@@ -75,6 +75,11 @@ class BlockSWIPDGEstimators:
         mu_hat = p.get("mu_hat", mu)
         mu_min = p.get("parameter_range_min")
         mu_max = p.get("parameter_range_max")
+        # "reconstruction": "frozen" (reference semantics, default) or
+        # "scheme" (theta-combined per-component flux; exactly conservative
+        # for the per-component self-weighted scheme - see
+        # swipdg.scheme_flux_parts)
+        recon = p.get("reconstruction", "frozen")
         if problem.parametric():
             for req in ("mu", "mu_bar", "mu_hat"):
                 if p.get(req) is None and req == "mu":
@@ -88,13 +93,15 @@ class BlockSWIPDGEstimators:
 
         if type_ == "eta_DF_OS2014":
             cells = SWIPDGEstimators._local_squared(
-                space, bi, problem, u, "eta_DF_ESV2007", mu=mu, mu_hat=mu_hat
+                space, bi, problem, u, "eta_DF_ESV2007", mu=mu, mu_hat=mu_hat,
+                reconstruction=recon,
             )
             return _segment_sum_by_subdomain(cells, ms)
 
         if type_ == "eta_DF_OS2014_*":
             cells = SWIPDGEstimators._local_squared(
-                space, bi, problem, u, "eta_DF_star", mu=mu, mu_hat=mu_hat
+                space, bi, problem, u, "eta_DF_star", mu=mu, mu_hat=mu_hat,
+                reconstruction=recon,
             )
             return _segment_sum_by_subdomain(cells, ms)
 
@@ -117,11 +124,16 @@ class BlockSWIPDGEstimators:
                 kap = freeze_function(frozen_mu.diffusion_tensor)
                 g_d = freeze_function(frozen_mu.dirichlet)
                 g_n = freeze_function(frozen_mu.neumann)
+                from .swipdg import scheme_flux_parts
+
                 mean_flux = rt0_flux_reconstruction(
                     space, u, lam, kap,
                     np.nonzero(bi.dirichlet_faces)[0],
                     np.nonzero(bi.neumann_faces)[0],
                     g_d, g_n,
+                    flux_parts=(scheme_flux_parts(problem, mu)
+                                if (recon == "scheme" and problem.parametric())
+                                else None),
                 )
                 proj = rt0_divergence(grid, mean_flux)
             resid_cells = jnp.sum(qw * (f_q - proj[:, None]) ** 2, axis=1)

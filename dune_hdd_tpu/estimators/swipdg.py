@@ -1,4 +1,10 @@
-"""ESV2007 a-posteriori error estimators for SWIPDG (P1, simplicial grids).
+"""ESV2007 a-posteriori error estimators for SWIPDG (simplicial grids).
+
+Orders: P1 with RT0 flux reconstruction (the reference's scope) and — beyond
+the reference's polOrder-1-only estimators — P2 with conforming-P2 Oswald
+averaging (vertex + edge-midpoint nodes) and an RT1 equilibrated flux whose
+edge dofs are P1(e) moments of the SWIPDG numerical flux and whose interior
+dofs enforce div t = Pi_{P1} f (optimal-rate eta_R_*).
 
 TPU-native re-design of estimators/swipdg.hh (reference:
 dune/hdd/linearelliptic/estimators/swipdg.hh:57-985).  The reference's
@@ -40,8 +46,10 @@ from ..ops.norms import evaluate_discrete, evaluate_discrete_gradient
 from ..ops.spaces import Space
 from ..ops.swipdg import boundary_sigma, default_beta, inner_sigma
 
-__all__ = ["SWIPDGEstimators", "oswald_interpolation", "rt0_flux_reconstruction",
-           "rt0_evaluate", "rt0_divergence", "min_diffusion_eigenvalue"]
+__all__ = ["SWIPDGEstimators", "oswald_interpolation",
+           "oswald_interpolation_nodal", "rt0_flux_reconstruction",
+           "rt0_evaluate", "rt0_divergence", "rt1_flux_reconstruction",
+           "rt1_evaluate", "rt1_divergence_at", "min_diffusion_eigenvalue"]
 
 POINCARE = 1.0 / (math.pi**2)
 
@@ -57,13 +65,38 @@ def oswald_interpolation(space: Space, u: jnp.ndarray,
     Returns vertex values [NV]."""
     assert space.basis == "nodal" and not space.continuous
     grid = space.grid
-    vert_ids = jnp.asarray(grid.cells.astype(np.int64))  # [NC, nd]
-    vals = u[jnp.asarray(space.cell_dofs)]  # [NC, nd]
+    vert_ids = jnp.asarray(grid.cells.astype(np.int64))  # [NC, nvc]
+    vals = u[jnp.asarray(space.cell_dofs)][..., : grid.vertices_per_cell]
     nv = grid.num_vertices
     sums = jnp.zeros(nv, dtype=u.dtype).at[vert_ids.reshape(-1)].add(vals.reshape(-1))
     counts = jnp.zeros(nv, dtype=u.dtype).at[vert_ids.reshape(-1)].add(1.0)
     avg = sums / counts
     return jnp.where(jnp.asarray(dirichlet_vertices), 0.0, avg)
+
+
+def oswald_interpolation_nodal(space: Space, u: jnp.ndarray,
+                               boundary_info: BoundaryInfo) -> jnp.ndarray:
+    """DG -> conforming nodal averaging, returned cell-wise [NC, nd].
+
+    P1: vertex averages (GDT::Operators::OswaldInterpolation).  P2 (beyond
+    the reference's polOrder-1 estimators): the conforming node set is
+    vertices + edge midpoints; vertex nodes average over the vertex star,
+    edge nodes over the (<=2) incident cells, and every node lying on a
+    Dirichlet face is set to 0."""
+    grid = space.grid
+    vtx = oswald_interpolation(space, u, boundary_info.dirichlet_vertices)
+    v_cells = vtx[jnp.asarray(grid.cells.astype(np.int64))]  # [NC, nvc]
+    if space.order == 1:
+        return v_cells
+    # P2 edge-midpoint nodes live on local faces (e01, e12, e20) == cell_faces
+    face_ids = jnp.asarray(grid.cell_faces.astype(np.int64))  # [NC, 3]
+    mid_vals = u[jnp.asarray(space.cell_dofs)][..., 3:]  # [NC, 3]
+    nf = grid.num_faces
+    sums = jnp.zeros(nf, dtype=u.dtype).at[face_ids.reshape(-1)].add(mid_vals.reshape(-1))
+    counts = jnp.zeros(nf, dtype=u.dtype).at[face_ids.reshape(-1)].add(1.0)
+    mid = sums / counts
+    mid = jnp.where(jnp.asarray(boundary_info.dirichlet_faces), 0.0, mid)
+    return jnp.concatenate([v_cells, mid[face_ids]], axis=-1)
 
 
 def min_diffusion_eigenvalue(lam_fn: Function, kap_fn: Function, grid: Grid,
@@ -110,6 +143,139 @@ def _side_data(space: Space, cells: np.ndarray, qp: jnp.ndarray,
     return uh, flux, delta
 
 
+def _numerical_flux_moments(
+    space: Space,
+    u: jnp.ndarray,
+    lam_fn: Function,
+    kap_fn: Function,
+    dirichlet_faces: np.ndarray,
+    neumann_faces: np.ndarray,
+    g_d: Optional[Function] = None,
+    g_n: Optional[Function] = None,
+    qorder: int = 4,
+    weight_lam_fn: Optional[Function] = None,
+    weight_kap_fn: Optional[Function] = None,
+    flux_parts: Optional[List] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(m0 [NF], m1 [NF]) moments of the SWIPDG numerical normal flux along
+    the global inside->outside face normal:
+
+      m0 = int_e t.n ds,  m1 = int_e t.n s_hat ds,
+
+    with s_hat = t - 1/2 the centered global face parameter.  The flux is
+
+      interior:  t.n = -{lam kap grad u_h . n}_w + pen_e [u_h]
+      dirichlet: t.n = -lam kap grad u_h . n + pen_b (u_h - g_d)
+      neumann:   t.n = -g_n
+
+    ``flux_parts``: for parametric problems discretized with the reference's
+    per-component self-weighted scheme (swipdg.hh:222-249, penalty once in
+    the affine part), the assembled numerical flux is the theta-combination
+    of per-part fluxes, each with ITS OWN weighted average — NOT the flux of
+    the frozen total diffusion (the weights are nonlinear in the diffusion).
+    Pass [(lam_q_fn, theta_q, with_penalty), ...] to reconstruct exactly
+    that flux; the result is then locally conservative for the assembled
+    scheme (div t = P0 f), which the frozen-diffusion reconstruction is not
+    on faces where component weights differ (e.g. SPE10 channel boundaries).
+    """
+    grid = space.grid
+    sigma_i, sigma_b = inner_sigma(space.order), boundary_sigma(space.order)
+    beta = default_beta(2)
+    m0 = jnp.zeros(grid.num_faces, dtype=u.dtype)
+    m1 = jnp.zeros(grid.num_faces, dtype=u.dtype)
+    from ..ops.assembly import edge_rule
+
+    tq, _wq = edge_rule(qorder)
+    s_hat = jnp.asarray(tq) - 0.5  # [k]
+
+    if flux_parts is None:
+        flux_parts = [(lam_fn, kap_fn, 1.0, True)]
+        wl, wk = weight_lam_fn, weight_kap_fn
+    else:
+        wl = wk = None  # each part self-weighted
+
+    def put(m0, m1, ids, tn, qw):
+        m0 = m0.at[jnp.asarray(ids)].set(jnp.sum(qw * tn, axis=1))
+        m1 = m1.at[jnp.asarray(ids)].set(jnp.sum(qw * tn * s_hat[None, :], axis=1))
+        return m0, m1
+
+    interior = np.nonzero(grid.interior_faces)[0]
+    if len(interior):
+        qp, qw = face_quadrature(grid, qorder, interior)
+        n = jnp.asarray(grid.face_normals[interior])
+        h = jnp.asarray(grid.face_volumes[interior])
+        tn = 0.0
+        for part_lam, part_kap, theta, with_pen in flux_parts:
+            u_m, f_m, d_m = _side_data(space, grid.face_cells[interior, 0], qp, u,
+                                       part_lam, part_kap, n, wl, wk)
+            u_p, f_p, d_p = _side_data(space, grid.face_cells[interior, 1], qp, u,
+                                       part_lam, part_kap, n, wl, wk)
+            denom = d_m + d_p
+            zero = denom == 0
+            safe = jnp.where(zero, 1.0, denom)
+            w_m = jnp.where(zero, 0.5, d_p / safe)
+            w_p = jnp.where(zero, 0.5, d_m / safe)
+            part = -(w_m * f_m + w_p * f_p)
+            if with_pen:
+                gamma = jnp.where(zero, 0.0, d_m * d_p / safe)
+                pen = sigma_i * gamma / (h[:, None] ** beta)
+                part = part + pen * (u_m - u_p)
+            tn = tn + theta * part
+        m0, m1 = put(m0, m1, interior, tn, qw)
+
+    fb = np.asarray(dirichlet_faces)
+    if len(fb):
+        qp, qw = face_quadrature(grid, qorder, fb)
+        n = jnp.asarray(grid.face_normals[fb])
+        h = jnp.asarray(grid.face_volumes[fb])
+        gd = g_d(qp) if g_d is not None else 0.0
+        tn = 0.0
+        for part_lam, part_kap, theta, with_pen in flux_parts:
+            uh, flux, delta = _side_data(space, grid.face_cells[fb, 0], qp, u,
+                                         part_lam, part_kap, n, wl, wk)
+            part = -flux
+            if with_pen:
+                pen = sigma_b * delta / (h[:, None] ** beta)
+                part = part + pen * (uh - gd)
+            tn = tn + theta * part
+        m0, m1 = put(m0, m1, fb, tn, qw)
+
+    fn_ = np.asarray(neumann_faces)
+    if len(fn_) and g_n is not None:
+        qp, qw = face_quadrature(grid, qorder, fn_)
+        m0, m1 = put(m0, m1, fn_, -g_n(qp), qw)
+    return m0, m1
+
+
+def scheme_flux_parts(problem, mu) -> Optional[List]:
+    """(lam_fn, kap_fn, theta, with_penalty) per part of the reference
+    scheme's numerical flux at mu — one self-weighted full SWIPDG form per
+    affine diffusion component (swipdg.hh:222-249).
+
+    The frozen-diffusion reconstruction (what the reference's estimator
+    computes, estimators/swipdg.hh) uses the weighted average of the TOTAL
+    diffusion at mu; because the weights are nonlinear in the diffusion this
+    is NOT the assembled scheme's flux, so div t = P0 f fails on faces where
+    component weights differ (negligible for smooth decompositions, but
+    amplified by 1/min-diffusion on e.g. SPE10 channel boundaries).  These
+    parts reproduce the assembled flux exactly -> exact local conservation.
+    """
+    if not problem.parametric():
+        return None
+    from ..ops.assembly import diffusion_pairs
+
+    pairs = diffusion_pairs(problem)
+    parts = []
+    for q in range(pairs.num_components):
+        lam_fn, kap_fn = pairs.components[q]
+        theta = float(np.asarray(pairs.coefficients[q](mu)))
+        parts.append((lam_fn, kap_fn, theta, True))
+    if pairs.affine_part is not None:
+        lam_fn, kap_fn = pairs.affine_part
+        parts.append((lam_fn, kap_fn, 1.0, True))
+    return parts
+
+
 def rt0_flux_reconstruction(
     space: Space,
     u: jnp.ndarray,
@@ -122,63 +288,21 @@ def rt0_flux_reconstruction(
     qorder: int = 4,
     weight_lam_fn: Optional[Function] = None,
     weight_kap_fn: Optional[Function] = None,
+    flux_parts: Optional[List] = None,
 ) -> jnp.ndarray:
     """Mean normal flux per face [NF] (along the global inside->outside
-    normal) of the RTN0 diffusive-flux reconstruction t_h of -lam kap grad u:
-
-      interior:  t.n = -{lam kap grad u_h . n}_w + pen_e [u_h]
-      dirichlet: t.n = -lam kap grad u_h . n + pen_b (u_h - g_d)
-      neumann:   t.n = -g_n  (Neumann data prescribes lam kap grad u . n = g_n)
+    normal) of the RTN0 diffusive-flux reconstruction t_h of -lam kap grad u.
 
     The penalty signs make t locally conservative: testing the SWIPDG form
     with 1_T gives sum_e int_e t.n_out = int_T f exactly, hence
-    div t_h = P0 f elementwise.
+    div t_h = P0 f elementwise (exactly so for parametric problems only
+    with ``flux_parts`` = scheme_flux_parts(problem, mu)).
     """
-    grid = space.grid
-    sigma_i, sigma_b = inner_sigma(space.order), boundary_sigma(space.order)
-    beta = default_beta(2)
-    mean_flux = jnp.zeros(grid.num_faces, dtype=u.dtype)
-
-    interior = np.nonzero(grid.interior_faces)[0]
-    if len(interior):
-        qp, qw = face_quadrature(grid, qorder, interior)
-        n = jnp.asarray(grid.face_normals[interior])
-        h = jnp.asarray(grid.face_volumes[interior])
-        u_m, f_m, d_m = _side_data(space, grid.face_cells[interior, 0], qp, u,
-                                   lam_fn, kap_fn, n, weight_lam_fn, weight_kap_fn)
-        u_p, f_p, d_p = _side_data(space, grid.face_cells[interior, 1], qp, u,
-                                   lam_fn, kap_fn, n, weight_lam_fn, weight_kap_fn)
-        denom = d_m + d_p
-        zero = denom == 0
-        safe = jnp.where(zero, 1.0, denom)
-        w_m, w_p = jnp.where(zero, 0.5, d_p / safe), jnp.where(zero, 0.5, d_m / safe)
-        gamma = jnp.where(zero, 0.0, d_m * d_p / safe)
-        pen = sigma_i * gamma / (h[:, None] ** beta)
-        tn = -(w_m * f_m + w_p * f_p) + pen * (u_m - u_p)
-        mean_flux = mean_flux.at[jnp.asarray(interior)].set(
-            jnp.sum(qw * tn, axis=1) / h
-        )
-
-    fb = np.asarray(dirichlet_faces)
-    if len(fb):
-        qp, qw = face_quadrature(grid, qorder, fb)
-        n = jnp.asarray(grid.face_normals[fb])
-        h = jnp.asarray(grid.face_volumes[fb])
-        uh, flux, delta = _side_data(space, grid.face_cells[fb, 0], qp, u,
-                                     lam_fn, kap_fn, n, weight_lam_fn, weight_kap_fn)
-        gd = g_d(qp) if g_d is not None else 0.0
-        pen = sigma_b * delta / (h[:, None] ** beta)
-        tn = -flux + pen * (uh - gd)
-        mean_flux = mean_flux.at[jnp.asarray(fb)].set(jnp.sum(qw * tn, axis=1) / h)
-
-    fn_ = np.asarray(neumann_faces)
-    if len(fn_) and g_n is not None:
-        qp, qw = face_quadrature(grid, qorder, fn_)
-        h = jnp.asarray(grid.face_volumes[fn_])
-        mean_flux = mean_flux.at[jnp.asarray(fn_)].set(
-            -jnp.sum(qw * g_n(qp), axis=1) / h
-        )
-    return mean_flux
+    m0, _m1 = _numerical_flux_moments(
+        space, u, lam_fn, kap_fn, dirichlet_faces, neumann_faces, g_d, g_n,
+        qorder, weight_lam_fn, weight_kap_fn, flux_parts=flux_parts,
+    )
+    return m0 / jnp.asarray(space.grid.face_volumes)
 
 
 def _rt0_cell_data(grid: Grid, mean_flux: jnp.ndarray):
@@ -211,6 +335,147 @@ def rt0_divergence(grid: Grid, mean_flux: jnp.ndarray) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# RT1 reconstruction (beyond the reference: optimal-rate estimators for the
+# P2 spaces; the reference is polOrder-1/RTN0-only, swipdg.hh:426-431)
+# ---------------------------------------------------------------------------
+
+# monomial model fields on the scaled cell frame xi = (x - c_T)/h_T:
+#   Phi = [(1,0), (0,1), (xi,0), (eta,0), (0,xi), (0,eta),
+#          xi*(xi,eta), eta*(xi,eta)]
+# div Phi * h_T = [0, 0, 1, 0, 0, 1, 3 xi, 3 eta]
+
+
+def _rt1_fields(xi: jnp.ndarray) -> jnp.ndarray:
+    """Phi at scaled points xi [..., 2] -> [..., 8, 2]."""
+    one = jnp.ones_like(xi[..., 0])
+    zero = jnp.zeros_like(one)
+    x, y = xi[..., 0], xi[..., 1]
+    fields = [
+        (one, zero), (zero, one),
+        (x, zero), (y, zero), (zero, x), (zero, y),
+        (x * x, x * y), (x * y, y * y),
+    ]
+    return jnp.stack([jnp.stack(f, axis=-1) for f in fields], axis=-2)
+
+
+def _rt1_divs(xi: jnp.ndarray) -> jnp.ndarray:
+    """h_T * div Phi at scaled points -> [..., 8]."""
+    one = jnp.ones_like(xi[..., 0])
+    zero = jnp.zeros_like(one)
+    x, y = xi[..., 0], xi[..., 1]
+    return jnp.stack([zero, zero, one, zero, zero, one, 3 * x, 3 * y], axis=-1)
+
+
+def rt1_flux_reconstruction(
+    space: Space,
+    u: jnp.ndarray,
+    lam_fn: Function,
+    kap_fn: Function,
+    dirichlet_faces: np.ndarray,
+    neumann_faces: np.ndarray,
+    g_d: Optional[Function] = None,
+    g_n: Optional[Function] = None,
+    force_fn: Optional[Function] = None,
+    qorder: int = 6,
+    weight_lam_fn: Optional[Function] = None,
+    weight_kap_fn: Optional[Function] = None,
+    flux_parts: Optional[List] = None,
+) -> jnp.ndarray:
+    """RT1 diffusive-flux reconstruction; returns coefficients [NC, 8] in the
+    scaled monomial frame (see _rt1_fields).
+
+    Construction (Ern/Stephansen/Vohralik-type equilibrated flux of degree 1):
+    * edge dofs = P1(e) moments (m0, m1) of the SWIPDG numerical flux along
+      the global face normal — both neighbouring cells see identical t.n, so
+      t is H(div)-conforming;
+    * interior dofs int_T t dx fixed by divergence-moment matching
+        int_T div t (x_i - c_i) dx = int_T f (x_i - c_i) dx,
+      which with the edge dofs (mean conservation from the SWIPDG scheme)
+      gives div t_h = Pi_{P1} f — the optimal-rate residual term.
+    """
+    grid = space.grid
+    assert grid.cell_type == TRIANGLE
+    m0, m1 = _numerical_flux_moments(
+        space, u, lam_fn, kap_fn, dirichlet_faces, neumann_faces, g_d, g_n,
+        qorder, weight_lam_fn, weight_kap_fn, flux_parts=flux_parts,
+    )
+    cf = grid.cell_faces  # [NC, 3]
+    c = jnp.asarray(grid.cell_centroids)  # [NC, 2]
+    hT = jnp.asarray(grid.cell_diameters)  # [NC]
+    fverts = grid.vertices[grid.faces]  # [NF, 2, 2] (a, b) in global order
+    a = jnp.asarray(fverts[cf, 0])  # [NC, 3, 2]
+    b = jnp.asarray(fverts[cf, 1])
+    ng = jnp.asarray(grid.face_normals[cf])  # [NC, 3, 2] global normals
+    L = jnp.asarray(grid.face_volumes[cf])  # [NC, 3]
+    mid = 0.5 * (a + b)
+    d_vec = b - a  # [NC, 3, 2]
+
+    # 2-pt Gauss on [0,1] integrates degree 3 exactly (Phi.n quadratic x s)
+    gp = np.array([0.5 - 0.5 / np.sqrt(3.0), 0.5 + 0.5 / np.sqrt(3.0)])
+    gw = np.array([0.5, 0.5])
+    tq = jnp.asarray(gp)
+    s_hat = tq - 0.5  # [2]
+    # edge quadrature points per (cell, local face, gauss pt)
+    qp_e = a[:, :, None, :] + tq[None, None, :, None] * d_vec[:, :, None, :]
+    xi_e = (qp_e - c[:, None, None, :]) / hT[:, None, None, None]
+    Phi_e = _rt1_fields(xi_e)  # [NC, 3, 2, 8, 2]
+    Phin = jnp.einsum("cfkja,cfa->cfkj", Phi_e, ng)  # [NC, 3, 2, 8]
+    w = jnp.asarray(gw)[None, None, :] * L[:, :, None]  # [NC, 3, 2]
+    # edge functional rows: [NC, 3(face), 2(moment), 8]
+    row_m0 = jnp.einsum("cfk,cfkj->cfj", w, Phin)
+    row_m1 = jnp.einsum("cfk,k,cfkj->cfj", w, s_hat, Phin)
+    rows_edge = jnp.concatenate([row_m0, row_m1], axis=1)  # [NC, 6, 8]
+
+    # interior functional rows: int_T Phi dx (2 components)
+    qp_c, qw_c = cell_quadrature(grid, 3)
+    xi_c = (qp_c - c[:, None, :]) / hT[:, None, None]
+    Phi_c = _rt1_fields(xi_c)  # [NC, k, 8, 2]
+    rows_int = jnp.einsum("ck,ckja->caj", qw_c, Phi_c)  # [NC, 2, 8]
+
+    M = jnp.concatenate([rows_edge, rows_int], axis=1)  # [NC, 8, 8]
+
+    # rhs: edge moments in global orientation
+    rhs_m0 = m0[jnp.asarray(cf)]  # [NC, 3]
+    rhs_m1 = m1[jnp.asarray(cf)]
+    # interior rhs: int_T t_i = int_dT (t.n_out)(x_i - c_i) ds - int_T f (x_i - c_i)
+    #   int_e (t.n_glob)(x_i - c_i) ds = m0 (mid_i - c_i) + m1 d_i
+    sgn = jnp.asarray(
+        np.where(grid.face_cells[cf, 0] == np.arange(grid.num_cells)[:, None],
+                 1.0, -1.0)
+    )  # [NC, 3] outward sign vs global normal
+    bd = jnp.einsum(
+        "cf,cfa->ca", sgn * rhs_m0, mid - c[:, None, :]
+    ) + jnp.einsum("cf,cfa->ca", sgn * rhs_m1, d_vec)
+    if force_fn is not None:
+        qp_f, qw_f = cell_quadrature(grid, qorder)
+        fq = force_fn(qp_f)
+        fmom = jnp.einsum("ck,ck,cka->ca", qw_f, fq, qp_f - c[:, None, :])
+    else:
+        fmom = jnp.zeros_like(bd)
+    rhs_int = bd - fmom  # [NC, 2]
+
+    rhs = jnp.concatenate([rhs_m0, rhs_m1, rhs_int], axis=1)  # [NC, 8]
+    return jnp.linalg.solve(M, rhs[..., None])[..., 0]
+
+
+def rt1_evaluate(grid: Grid, coeffs: jnp.ndarray, qp: jnp.ndarray) -> jnp.ndarray:
+    """RT1 field at per-cell points qp [NC, k, 2] -> [NC, k, 2]."""
+    c = jnp.asarray(grid.cell_centroids)
+    hT = jnp.asarray(grid.cell_diameters)
+    xi = (qp - c[:, None, :]) / hT[:, None, None]
+    Phi = _rt1_fields(xi)  # [NC, k, 8, 2]
+    return jnp.einsum("cj,ckja->cka", coeffs, Phi)
+
+
+def rt1_divergence_at(grid: Grid, coeffs: jnp.ndarray, qp: jnp.ndarray) -> jnp.ndarray:
+    """div t at per-cell points [NC, k] (linear per cell)."""
+    c = jnp.asarray(grid.cell_centroids)
+    hT = jnp.asarray(grid.cell_diameters)
+    xi = (qp - c[:, None, :]) / hT[:, None, None]
+    return jnp.einsum("cj,ckj->ck", coeffs, _rt1_divs(xi)) / hT[:, None]
+
+
+# ---------------------------------------------------------------------------
 # the estimator front-end (string dispatch like estimators/swipdg.hh:824-985)
 # ---------------------------------------------------------------------------
 
@@ -232,7 +497,7 @@ class SWIPDGEstimators:
     # -- local (per-element squared) contributions --------------------------
     @classmethod
     def _local_squared(cls, space, boundary_info, problem, u, type_, mu=None,
-                       mu_hat=None) -> jnp.ndarray:
+                       mu_hat=None, reconstruction: str = "frozen") -> jnp.ndarray:
         grid = space.grid
         frozen = problem.with_mu(mu) if problem.parametric() else problem
         lam = freeze_function(frozen.diffusion_factor)
@@ -253,15 +518,23 @@ class SWIPDGEstimators:
         g_n = freeze_function(frozen.neumann)
         dirichlet_faces = np.nonzero(boundary_info.dirichlet_faces)[0]
         neumann_faces = np.nonzero(boundary_info.neumann_faces)[0]
+        # reconstruction="scheme": theta-combined per-component flux (exact
+        # local conservation for the per-component self-weighted scheme);
+        # "frozen" (default) follows the reference's estimator, which
+        # reconstructs from the mu-frozen total diffusion
+        flux_parts = (
+            scheme_flux_parts(problem, mu)
+            if (reconstruction == "scheme" and problem.parametric())
+            else None
+        )
 
         if type_ == "eta_NC_ESV2007":
-            vtx = oswald_interpolation(space, u, boundary_info.dirichlet_vertices)
-            qorder = lam.order + kap.order + 2
+            qorder = lam.order + kap.order + 2 * space.order
             qp, qw = cell_quadrature(grid, qorder)
             grads = space.shape_gradients(jnp.asarray(grid.cell_vertices), qp)
             u_loc = u[jnp.asarray(space.cell_dofs)]
-            # conforming interpolant has the cell's vertex values
-            v_loc = vtx[jnp.asarray(grid.cells.astype(np.int64))]
+            # conforming interpolant: cell-wise averaged nodal values
+            v_loc = oswald_interpolation_nodal(space, u, boundary_info)
             e_grad = jnp.einsum("ckia,ci->cka", grads, u_loc - v_loc)
             lam_q = lam(qp)
             kap_q = kap(qp)
@@ -275,13 +548,22 @@ class SWIPDGEstimators:
             vol = jnp.asarray(grid.cell_volumes)
             if type_ == "eta_R_ESV2007":
                 proj = jnp.sum(qw * f_q, axis=1) / vol  # P0 projection
+                resid = jnp.sum(qw * (f_q - proj[:, None]) ** 2, axis=1)
+            elif space.order >= 2:
+                coeffs = rt1_flux_reconstruction(
+                    space, u, lam, kap, dirichlet_faces, neumann_faces, g_d,
+                    g_n, force_fn=force, weight_lam_fn=wlam, weight_kap_fn=wkap,
+                    flux_parts=flux_parts,
+                )
+                div_t = rt1_divergence_at(grid, coeffs, qp)
+                resid = jnp.sum(qw * (f_q - div_t) ** 2, axis=1)
             else:
                 mean_flux = rt0_flux_reconstruction(
                     space, u, lam, kap, dirichlet_faces, neumann_faces, g_d, g_n,
-                    weight_lam_fn=wlam, weight_kap_fn=wkap,
+                    weight_lam_fn=wlam, weight_kap_fn=wkap, flux_parts=flux_parts,
                 )
                 proj = rt0_divergence(grid, mean_flux)
-            resid = jnp.sum(qw * (f_q - proj[:, None]) ** 2, axis=1)
+                resid = jnp.sum(qw * (f_q - proj[:, None]) ** 2, axis=1)
             h2 = jnp.asarray(grid.cell_diameters) ** 2
             min_ev = min_diffusion_eigenvalue(lam, kap, grid)
             cutoff = POINCARE * h2 / min_ev
@@ -294,14 +576,22 @@ class SWIPDGEstimators:
             # variant (DiffusiveFluxEstimate takes only lambda_hat,
             # swipdg.hh:582-585) and lambda(mu) for the star variant
             # (OS2014::DiffusiveFluxEstimateStar, block-swipdg.hh:609-615).
-            mean_flux = rt0_flux_reconstruction(
-                space, u, lam, kap, dirichlet_faces, neumann_faces, g_d, g_n,
-                weight_lam_fn=wlam, weight_kap_fn=wkap,
-            )
-            qorder = lam.order + lam_hat.order + 4
+            qorder = lam.order + lam_hat.order + 2 + 2 * space.order
             qp, qw = cell_quadrature(grid, qorder)
             grad_uh = evaluate_discrete_gradient(space, u, qp)
-            t = rt0_evaluate(grid, mean_flux, qp)
+            if space.order >= 2:
+                coeffs = rt1_flux_reconstruction(
+                    space, u, lam, kap, dirichlet_faces, neumann_faces, g_d,
+                    g_n, force_fn=force, weight_lam_fn=wlam, weight_kap_fn=wkap,
+                    flux_parts=flux_parts,
+                )
+                t = rt1_evaluate(grid, coeffs, qp)
+            else:
+                mean_flux = rt0_flux_reconstruction(
+                    space, u, lam, kap, dirichlet_faces, neumann_faces, g_d, g_n,
+                    weight_lam_fn=wlam, weight_kap_fn=wkap, flux_parts=flux_parts,
+                )
+                t = rt0_evaluate(grid, mean_flux, qp)
             lam_q = lam(qp) if type_ == "eta_DF_star" else lam_hat(qp)
             kap_q = kap(qp)
             resid = lam_q[..., None] * jnp.einsum("ckab,ckb->cka", kap_q, grad_uh) + t
@@ -326,33 +616,33 @@ class SWIPDGEstimators:
     # -- public surface ------------------------------------------------------
     @classmethod
     def estimate(cls, space, boundary_info, problem, u, type_, mu=None,
-                 mu_hat=None) -> float:
+                 mu_hat=None, reconstruction: str = "frozen") -> float:
         if type_ == "eta_ESV2007":
-            nc = cls._local_squared(space, boundary_info, problem, u, "eta_NC_ESV2007", mu, mu_hat)
-            r = cls._local_squared(space, boundary_info, problem, u, "eta_R_ESV2007_*", mu, mu_hat)
-            df = cls._local_squared(space, boundary_info, problem, u, "eta_DF_ESV2007", mu, mu_hat)
+            nc = cls._local_squared(space, boundary_info, problem, u, "eta_NC_ESV2007", mu, mu_hat, reconstruction)
+            r = cls._local_squared(space, boundary_info, problem, u, "eta_R_ESV2007_*", mu, mu_hat, reconstruction)
+            df = cls._local_squared(space, boundary_info, problem, u, "eta_DF_ESV2007", mu, mu_hat, reconstruction)
             return float(jnp.sqrt(jnp.sum(nc + (jnp.sqrt(r) + jnp.sqrt(df)) ** 2)))
         if type_ == "eta_ESV2007_alt":
-            nc = cls._local_squared(space, boundary_info, problem, u, "eta_NC_ESV2007", mu, mu_hat)
-            r = cls._local_squared(space, boundary_info, problem, u, "eta_R_ESV2007_*", mu, mu_hat)
-            df = cls._local_squared(space, boundary_info, problem, u, "eta_DF_ESV2007", mu, mu_hat)
+            nc = cls._local_squared(space, boundary_info, problem, u, "eta_NC_ESV2007", mu, mu_hat, reconstruction)
+            r = cls._local_squared(space, boundary_info, problem, u, "eta_R_ESV2007_*", mu, mu_hat, reconstruction)
+            df = cls._local_squared(space, boundary_info, problem, u, "eta_DF_ESV2007", mu, mu_hat, reconstruction)
             return float(
                 jnp.sqrt(jnp.sum(nc)) + jnp.sqrt(jnp.sum(r)) + jnp.sqrt(jnp.sum(df))
             )
-        vals = cls._local_squared(space, boundary_info, problem, u, type_, mu, mu_hat)
+        vals = cls._local_squared(space, boundary_info, problem, u, type_, mu, mu_hat, reconstruction)
         return float(jnp.sqrt(jnp.sum(vals)))
 
     @classmethod
     def estimate_local(cls, space, boundary_info, problem, u, type_, mu=None,
-                       mu_hat=None) -> np.ndarray:
+                       mu_hat=None, reconstruction: str = "frozen") -> np.ndarray:
         """Per-element squared indicators scaled by the squared total
         (swipdg.hh:700-719)."""
         if type_ == "eta_ESV2007":
-            nc = cls._local_squared(space, boundary_info, problem, u, "eta_NC_ESV2007", mu, mu_hat)
-            r = cls._local_squared(space, boundary_info, problem, u, "eta_R_ESV2007_*", mu, mu_hat)
-            df = cls._local_squared(space, boundary_info, problem, u, "eta_DF_ESV2007", mu, mu_hat)
+            nc = cls._local_squared(space, boundary_info, problem, u, "eta_NC_ESV2007", mu, mu_hat, reconstruction)
+            r = cls._local_squared(space, boundary_info, problem, u, "eta_R_ESV2007_*", mu, mu_hat, reconstruction)
+            df = cls._local_squared(space, boundary_info, problem, u, "eta_DF_ESV2007", mu, mu_hat, reconstruction)
             local = nc + (jnp.sqrt(r) + jnp.sqrt(df)) ** 2
         else:
-            local = cls._local_squared(space, boundary_info, problem, u, type_, mu, mu_hat)
+            local = cls._local_squared(space, boundary_info, problem, u, type_, mu, mu_hat, reconstruction)
         total = jnp.sum(local)
         return np.asarray(local / total)

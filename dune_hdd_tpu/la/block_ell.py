@@ -31,6 +31,29 @@ __all__ = [
 ]
 
 
+
+
+class _StaticArray:
+    """Hashable wrapper for numpy index arrays living in pytree aux_data:
+    jit caches compare aux_data with == / hash, which raises on raw numpy
+    arrays ("truth value of an array ... ambiguous").  Equality is by
+    content digest; the wrapper is built once per matrix instance so
+    per-call flattening stays O(1)."""
+
+    __slots__ = ("array", "_key")
+
+    def __init__(self, array):
+        self.array = np.asarray(array)
+        self._key = (self.array.shape, self.array.dtype.str,
+                     hash(self.array.tobytes()))
+
+    def __hash__(self):
+        return self._key[2]
+
+    def __eq__(self, other):
+        return (isinstance(other, _StaticArray) and self._key == other._key
+                and np.array_equal(self.array, other.array))
+
 @jax.tree_util.register_pytree_node_class
 class BlockEllMatrix:
     """neighbors [NC, B] (slot 0 = self; padded slots point at self with a
@@ -41,11 +64,13 @@ class BlockEllMatrix:
         self.blocks = blocks
 
     def tree_flatten(self):
-        return (self.blocks,), self.neighbors
+        if not hasattr(self, "_aux"):
+            self._aux = _StaticArray(self.neighbors)
+        return (self.blocks,), self._aux
 
     @classmethod
     def tree_unflatten(cls, neighbors, children):
-        return cls(neighbors, children[0])
+        return cls(neighbors.array, children[0])
 
     @property
     def num_cells(self):
@@ -106,12 +131,14 @@ class StructuredBlockEll:
         self.offsets = tuple(tuple(int(o) for o in row) for row in offsets)
 
     def tree_flatten(self):
-        return (self.blocks,), (self.neighbors, self.offsets)
+        if not hasattr(self, "_aux"):
+            self._aux = (_StaticArray(self.neighbors), self.offsets)
+        return (self.blocks,), self._aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         neighbors, offsets = aux
-        return cls(neighbors, children[0], offsets)
+        return cls(neighbors.array, children[0], offsets)
 
     @property
     def num_cells(self):

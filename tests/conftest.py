@@ -13,3 +13,9 @@ import jax
 # the env var, so force CPU explicitly after import
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# persistent compilation cache: the suite re-jits the same kernels across
+# many test files; caching compiles cuts the warm suite wall time sharply
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_CACHE_DIR", "/tmp/dune_hdd_tpu_jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)

@@ -7,6 +7,7 @@ from dune_hdd_tpu.mor import adaptive_lrbms
 from dune_hdd_tpu.testcases import OS2014MultiscaleTestCase
 
 
+@pytest.mark.slow
 def test_adaptive_enrichment_reduces_error():
     tc = OS2014MultiscaleTestCase(
         {"mu": 0.3, "mu_bar": 0.3, "mu_hat": 0.1, "mu_minimizing": 0.1},
@@ -30,6 +31,7 @@ def test_adaptive_enrichment_reduces_error():
     assert set(res.enriched_subdomains) <= set(range(4))
 
 
+@pytest.mark.slow
 def test_adaptive_requires_oversampling():
     tc = OS2014MultiscaleTestCase(
         {"mu": 0.3, "mu_bar": 0.3, "mu_hat": 0.1, "mu_minimizing": 0.1},

@@ -81,6 +81,7 @@ def test_deflated_cg_converges_fast(spe10_system):
     assert float(res) <= 1e-8
 
 
+@pytest.mark.slow
 def test_refined_deflated_solve_true_residual(spe10_system):
     """float32 fine iteration + float64 refinement reaches a TRUE 1e-6."""
     grid, A_s, b_s, cell_agg = spe10_system

@@ -25,6 +25,7 @@ def test_localization_esv2007_symmetric():
     np.testing.assert_allclose(est, 0.25, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_localization_orders_asymmetric_error():
     """Break the symmetry with a [4 1] partition: subdomains in the middle of
     [-1,1]^2 carry more energy error than the outer ones for cos*cos; the

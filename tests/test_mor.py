@@ -50,6 +50,7 @@ def test_pod_reproduces_span(tb_disc):
     assert svals.shape == (2,)
 
 
+@pytest.mark.slow
 def test_greedy_rb_converges(tb_disc):
     # note: sample_uniformly gives mu = (t, t, t, t) whose solutions span a
     # 1-D manifold (u scales with 1/t) — use random samples for a real test
@@ -67,6 +68,7 @@ def test_greedy_rb_converges(tb_disc):
     assert err < 1e-8
 
 
+@pytest.mark.slow
 def test_greedy_rb_generalizes(tb_disc):
     training = sample_randomly(tb_disc.parameter_type, 0.1, 1.0, 8, seed=2)
     res = greedy_rb(tb_disc, training, target_error=1e-6, max_extensions=8)
@@ -77,6 +79,7 @@ def test_greedy_rb_generalizes(tb_disc):
         assert err < 1e-2, err
 
 
+@pytest.mark.slow
 def test_greedy_lrbms(tb_disc):
     grid = tb_disc.space.grid
     d = BlockSWIPDGDiscretization(grid, BI, tb_disc.problem, num_partitions=(2, 2))

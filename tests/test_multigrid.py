@@ -68,6 +68,7 @@ def test_prolongation_exact_for_linears():
     np.testing.assert_allclose(np.asarray(prol.prolong(x_c)), lin(fine), atol=1e-12)
 
 
+@pytest.mark.slow
 def test_mg_beats_jacobi_on_laplace():
     grids = [alu_cube_grid((-1, -1), (1, 1), (4, 4), refinements=b) for b in (4, 2, 0)]
     grid, A, b = _laplace_system(4)
@@ -79,6 +80,7 @@ def test_mg_beats_jacobi_on_laplace():
     assert float(res_mg) < float(res_jac) * 1e-2
 
 
+@pytest.mark.slow
 def test_vcycle_alone_converges():
     grids = [alu_cube_grid((-1, -1), (1, 1), (4, 4), refinements=b) for b in (2, 0)]
     grid, A, b = _laplace_system(2)

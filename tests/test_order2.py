@@ -53,3 +53,58 @@ def test_p2_esv2007_eoc(disc_cls):
     assert all(r > 1.9 for r in eoc_h1), (h1, eoc_h1)
     # P2 is far more accurate than P1 at the same grid
     assert l2[0] < 2e-2
+
+
+def test_p2_estimators_optimal_rates():
+    """Beyond the reference (polOrder-1/RT0-only estimators): P2 SWIPDG with
+    conforming-P2 Oswald averaging and the RT1 equilibrated flux.  Rates:
+    eta_NC ~ p = 2, eta_R_* ~ p+1 = 3 (div t = Pi_P1 f), eta_DF ~ 2, and
+    efficiency stays O(1) (measured 1.33 -> 1.25)."""
+    from dune_hdd_tpu.estimators import SWIPDGEstimators
+
+    rows = []
+    for lvl in range(2):
+        g = alu_cube_grid((-1, -1), (1, 1), (4, 4), refinements=2 + 2 * lvl)
+        d = SWIPDGDiscretization(g, ALL_DIRICHLET, ESV2007Problem(), order=2)
+        u = d.solve(options={"type": "direct"})
+        e = error_norms(d.space, u, Testcase1ExactSolution())
+        row = {"energy": e["H1_semi"]}
+        for t in ("eta_NC_ESV2007", "eta_R_ESV2007_*", "eta_DF_ESV2007", "eta_ESV2007"):
+            row[t] = SWIPDGEstimators.estimate(
+                d.space, d.boundary_info, d.problem, u, t)
+        rows.append(row)
+    r = {k: np.log2(rows[0][k] / rows[1][k]) for k in rows[0]}
+    assert r["energy"] > 1.85
+    assert r["eta_NC_ESV2007"] > 1.85
+    assert r["eta_R_ESV2007_*"] > 2.7  # p+1 via RT1 divergence matching
+    assert r["eta_DF_ESV2007"] > 1.85
+    for row in rows:
+        eff = row["eta_ESV2007"] / row["energy"]
+        assert 1.0 <= eff < 2.0, eff
+
+
+def test_rt1_divergence_matches_p1_force_projection():
+    """The RT1 interior-dof construction enforces div t = Pi_{P1} f."""
+    import jax.numpy as jnp
+
+    from dune_hdd_tpu.estimators import rt1_divergence_at, rt1_flux_reconstruction
+    from dune_hdd_tpu.functions import freeze_function
+    from dune_hdd_tpu.ops import cell_quadrature
+
+    g = alu_cube_grid((-1, -1), (1, 1), (4, 4), refinements=2)
+    d = SWIPDGDiscretization(g, ALL_DIRICHLET, ESV2007Problem(), order=2)
+    u = d.solve(options={"type": "direct"})
+    lam = freeze_function(d.problem.diffusion_factor)
+    kap = freeze_function(d.problem.diffusion_tensor)
+    force = freeze_function(d.problem.force)
+    fb = np.nonzero(d.boundary_info.dirichlet_faces)[0]
+    coeffs = rt1_flux_reconstruction(
+        d.space, u, lam, kap, fb, np.zeros(0, dtype=int), force_fn=force)
+    qp, qw = cell_quadrature(g, 6)
+    div = rt1_divergence_at(g, coeffs, qp)
+    f = force(qp)
+    # moments of (f - div t) against {1, x, y} vanish per cell
+    for mom in (jnp.ones_like(f), qp[..., 0], qp[..., 1]):
+        res = jnp.einsum("ck,ck,ck->c", qw, f - div, mom)
+        scale = jnp.einsum("ck,ck->c", qw, jnp.abs(f) + jnp.abs(div)) + 1e-30
+        assert float(jnp.max(jnp.abs(res) / scale)) < 1e-8

@@ -49,6 +49,29 @@ CASES = {
 }
 
 
+@pytest.mark.parametrize("mus", [(0.1, 0.1, 0.1), (1.0, 1.0, 1.0)])
+def test_parametric_block_level0_fast(mus):
+    """Fast-lane prefix: level 0 of the exact-at-mu-1 row and one mu != 1
+    row (full 4-triple x 2-level regression in the slow lane)."""
+    mu, mu_bar, mu_hat = mus
+    tc = OS2014MultiscaleTestCase(
+        {"mu": mu, "mu_bar": mu_bar, "mu_hat": mu_hat, "mu_minimizing": 0.1},
+        num_partitions=(4, 4),
+        num_refinements=0,
+    )
+    pars = tc.estimator_parameters()
+    d = BlockSWIPDGDiscretization(
+        tc.level_grid(0), tc.boundary_info(), tc.problem, num_partitions=(4, 4)
+    )
+    u = d.solve(tc.parameters["mu"], options={"type": "direct"})
+    for t, (ours, ref) in CASES[mus].items():
+        val = BlockSWIPDGEstimators.estimate(d, u, t, pars)
+        assert val == pytest.approx(ours[0], rel=2e-3), t
+        tol = 0.0035 if mu == 1.0 else 0.15
+        assert val == pytest.approx(ref[0], rel=tol), (t, "reference")
+
+
+@pytest.mark.slow
 @pytest.mark.parametrize("mus", sorted(CASES))
 def test_parametric_block_study(mus):
     mu, mu_bar, mu_hat = mus

@@ -64,6 +64,7 @@ def test_estimator_matches_direct_riesz_norm(tb_disc):
         assert eta == pytest.approx(eta_direct, rel=1e-6, abs=1e-12)
 
 
+@pytest.mark.slow
 def test_estimator_greedy_matches_true_error_greedy(tb_disc):
     """The estimator-driven greedy must reach the same approximation quality
     as the true-error greedy on the 2x2 thermalblock (selection order may

@@ -25,24 +25,39 @@ def _run_study(grid_variant, num_refinements=2):
     return tc, study, results
 
 
-def test_esv2007_alu_conforming_matches_reference_table():
-    """The headline regression: reproduce the dune-hdd expectation values on
-    the ALU-conforming NVB grid (BASELINE.md SWIPDG/ESV2007 table), via the
-    check_eoc_study_for_success analog."""
-    tc, study, results = _run_study("alu_conforming", num_refinements=2)
+def test_esv2007_alu_table_fast():
+    """Fast-lane prefix of the headline regression: levels 0-1 of the
+    dune-hdd ALU-conforming expectation table (BASELINE.md)."""
+    tc, study, results = _run_study("alu_conforming", num_refinements=1)
     check_eoc_study_for_success(study, "ESV2007", "alu_conforming", 1)
-    # and the checker actually catches corruption
     study.results = {k: [v * 2 for v in vs] for k, vs in results.items()}
     with pytest.raises(StudyCheckError):
         check_eoc_study_for_success(study, "ESV2007", "alu_conforming", 1)
 
 
+def test_esv2007_cube_fast():
+    tc, study, results = _run_study("cube", num_refinements=1)
+    for t in ("L2", "H1_semi"):
+        expected = expected_results("ESV2007", "cube", 1, t)[: len(results[t])]
+        np.testing.assert_allclose(results[t], expected, rtol=1e-4, err_msg=t)
+
+
+@pytest.mark.slow
+def test_esv2007_alu_conforming_matches_reference_table():
+    """The headline regression: reproduce ALL FOUR levels of the dune-hdd
+    expectation table on the ALU-conforming NVB grid."""
+    tc, study, results = _run_study("alu_conforming", num_refinements=3)
+    check_eoc_study_for_success(study, "ESV2007", "alu_conforming", 1)
+
+
+@pytest.mark.slow
 def test_esv2007_alu_eoc_rates():
     tc, study, results = _run_study("alu_conforming", num_refinements=2)
     assert all(r > 1.9 for r in eoc_rates(results["L2"]))
     assert all(r > 0.95 for r in eoc_rates(results["H1_semi"]))
 
 
+@pytest.mark.slow
 def test_esv2007_cube_recorded_values():
     tc, study, results = _run_study("cube", num_refinements=2)
     for t in ("L2", "H1_semi"):
