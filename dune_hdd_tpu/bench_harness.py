@@ -10,6 +10,7 @@ Jacobi-preconditioned CG on the ELL operator — executes on-device each call
 """
 from __future__ import annotations
 
+import os
 import time
 from typing import Optional, Tuple
 
@@ -125,11 +126,21 @@ def build_spe10_bench(bisections: int = 4, maxiter: int = 300,
 
     asm_jit = jax.jit(assemble)
 
+    macro = tuple(
+        int(x) for x in os.environ.get(
+            "BENCH_MACRO", f"{MODEL1_NX},{MODEL1_NZ}").split(",")
+    ) if preconditioner == "deflation" else None
+
     def solve_deflation(A32, b32):
         # bandwidth-ordered path: permute into structured numbering so the
         # SpMV is 24 static slices and the macro-cell aggregation is a
         # reshape-sum (grid/structured_order.py) — the TPU gather/scatter
-        # path runs ~20x below stream bandwidth
+        # path runs ~20x below stream bandwidth.  The preconditioner
+        # (coarse operator + dense inverse) is built INSIDE the trace: the
+        # coarse inverse is then computed on-device per call (cheap MXU
+        # work) instead of being baked into the program as a multi-hundred-
+        # MB constant, which overflows the compile pipeline for fine coarse
+        # grids.
         M = None
         if order is not None:
             from .la.block_ell import StructuredBlockEll
@@ -145,12 +156,12 @@ def build_spe10_bench(bisections: int = 4, maxiter: int = 300,
             )
             b_st = b32[inv_flat]
             M = structured_deflation_preconditioner(
-                A_st, order, (MODEL1_NX, MODEL1_NZ), coarse_dtype=jnp.float32,
+                A_st, order, macro, coarse_dtype=jnp.float32,
             )
             if M is not None:
                 u_st, res = refined_deflated_solve(
-                    A_st, b_st, None, n_agg, tol=tol, inner_iters=inner_iters,
-                    M=M, unroll=4,
+                    A_st, b_st, None, macro[0] * macro[1], tol=tol,
+                    inner_iters=inner_iters, M=M, unroll=4,
                 )
                 return u_st[perm], res
         return refined_deflated_solve(

@@ -66,6 +66,31 @@ __all__ = ["SWIPDGDiscretization"]
 _ALL_PRODUCTS = ("l2", "h1_semi", "elliptic", "boundary_l2", "penalty", "energy")
 
 
+def _guard_sign_indefinite_scheme(problem, grid, scheme: str) -> str:
+    """The reference's per-component self-weighted scheme (swipdg.hh:222-249)
+    assumes each part's diffusion is usable as a weighting: the affine
+    part's face penalty gamma = d_m d_p/(d_m + d_p) turns NEGATIVE wherever
+    the affine part does, destroying coercivity (measured on SPE10's
+    parametric channel, whose affine part 1 + channel dips to -0.11: the
+    mu=1 study diverges, energy 15 -> 31, while the frozen problem gives
+    3.44 -> 1.47).  Guard: if the diffusion-factor affine part is not
+    strictly positive on the grid, fall back to the penalty_mu scheme
+    (fixed positive weighting diffusion; guaranteed-positive penalty for
+    every mu).  Decompositions with positive affine parts (e.g. the OS2014
+    testcases, whose tables the reference scheme reproduces) are untouched.
+    """
+    affine = problem.diffusion_factor.affine_part
+    if affine is None:
+        return "penalty_mu"
+    from ..ops.assembly import cell_quadrature
+
+    qp, _ = cell_quadrature(grid, 2)
+    vals = np.asarray(affine(qp))
+    if vals.min() <= 0.0:
+        return "penalty_mu"
+    return scheme
+
+
 class SWIPDGDiscretization(StationaryDiscretization):
     static_id = "hdd.linearelliptic.discretizations.swipdg"
 
@@ -83,6 +108,8 @@ class SWIPDGDiscretization(StationaryDiscretization):
             scheme = "penalty_mu" if penalty_mu is not None else "reference"
         if scheme not in ("reference", "penalty_mu"):
             raise ValueError(f"unknown scheme {scheme!r}")
+        if scheme == "reference" and problem.parametric():
+            scheme = _guard_sign_indefinite_scheme(problem, grid, scheme)
         self.scheme = scheme
         if not isinstance(boundary_info, BoundaryInfo):
             boundary_info = make_boundary_info(grid, boundary_info)
