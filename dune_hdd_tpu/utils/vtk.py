@@ -15,7 +15,7 @@ import numpy as np
 
 __all__ = ["write_vtu", "write_cell_data_vtu"]
 
-_VTK_TYPE = {"triangle": 5, "quad": 9}
+_VTK_TYPE = {"triangle": 5, "quad": 9, "triangle6": 22}
 
 
 def _vtu_xml(points: np.ndarray, cells: np.ndarray, cell_type: str,
@@ -69,7 +69,24 @@ def write_vtu(space, dof_values: np.ndarray, filename: str, name: str = "solutio
     if not filename.endswith(".vtu"):
         filename = filename + ".vtu"
     dof_values = np.asarray(dof_values)
-    if space.continuous:
+    if getattr(space, "order", 1) == 2:
+        # VTK quadratic triangles (type 22): corner nodes then edge
+        # midpoints (0-1), (1-2), (2-0) — exactly our P2 local ordering
+        # (v0, v1, v2, e01, e12, e20)
+        if space.continuous:
+            mids = 0.5 * (grid.vertices[grid.faces[:, 0]]
+                          + grid.vertices[grid.faces[:, 1]])
+            points = np.concatenate([grid.vertices, mids])
+            cells = np.concatenate(
+                [grid.cells, grid.num_vertices + grid.cell_faces], axis=1
+            ).astype(np.int64)
+            xml = _vtu_xml(points, cells, "triangle6", {name: dof_values}, {})
+        else:
+            points = np.asarray(space.nodal_points).reshape(-1, 2)
+            cells = np.arange(grid.num_cells * 6).reshape(-1, 6)
+            vals = dof_values[space.cell_dofs.ravel()]
+            xml = _vtu_xml(points, cells, "triangle6", {name: vals}, {})
+    elif space.continuous:
         xml = _vtu_xml(grid.vertices, grid.cells, grid.cell_type,
                        {name: dof_values}, {})
     else:

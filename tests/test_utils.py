@@ -69,3 +69,30 @@ def test_vtk_writers(tmp_path):
         text = open(p).read()
         assert "<VTKFile" in text and "</VTKFile>" in text
     assert "eta" in open(cp).read()
+
+
+def test_write_vtu_p2(tmp_path):
+    """P2 spaces are written as VTK quadratic triangles (type 22) with the
+    matching corner/edge-midpoint node order (beyond the reference's
+    P1-only writers)."""
+    import jax.numpy as jnp
+
+    from dune_hdd_tpu.grid import rectangle_grid
+    from dune_hdd_tpu.ops.spaces import cg_space, dg_space
+    from dune_hdd_tpu.utils.vtk import write_vtu
+
+    g = rectangle_grid((0, 0), (1, 1), (2, 2), "triangle")
+    for space in (cg_space(g, 2), dg_space(g, 2)):
+        u = jnp.arange(space.num_dofs, dtype=jnp.float64)
+        path = write_vtu(space, u, str(tmp_path / f"p2_{space.continuous}"))
+        text = open(path).read()
+        import re
+
+        types = re.search(
+            r'Name="types" format="ascii">\s*([\d ]+)', text
+        ).group(1).split()
+        assert set(types) == {"22"}
+        conn = re.search(
+            r'Name="connectivity" format="ascii">\s*([\d ]+)', text
+        ).group(1).split()
+        assert len(conn) == g.num_cells * 6
