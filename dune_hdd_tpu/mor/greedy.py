@@ -82,6 +82,7 @@ def greedy_rb(
     solver_options: Optional[dict] = None,
     verbose: bool = False,
     coercivity=None,
+    checkpoint_path: Optional[str] = None,
 ) -> GreedyResult:
     """Weak greedy: pick the worst-approximated training parameter, extend
     the basis with its (orthonormalized) snapshot, stop at target_error or
@@ -103,11 +104,24 @@ def greedy_rb(
             discretization, product=error_norm, coercivity=coercivity
         )
     basis = jnp.zeros((0, discretization.space.num_dofs))
+    result = GreedyResult(None, basis)
+    if checkpoint_path is not None:
+        from .io import load_greedy_state
+
+        state = load_greedy_state(checkpoint_path)
+        if state is not None:
+            basis, result.selected_mus, result.max_errors, result.extensions = state
+            # the stored max_errors include the last pre-extension score;
+            # re-evaluation below re-appends it, so drop the tail entry
+            result.max_errors = result.max_errors[: result.extensions]
+            if verbose:
+                print(f"  greedy: resumed {result.extensions} extensions "
+                      f"from {checkpoint_path}")
     rm = reductor.reduce(basis)
     if estimator is not None:
         online = estimator.offline(basis)
-    result = GreedyResult(rm, basis)
-    for it in range(max_extensions + 1):
+    result.reduced_model = rm
+    for it in range(result.extensions, max_extensions + 1):
         errors = []
         for mu in training_set:
             if rm.dim == 0 and estimator is None:
@@ -134,6 +148,11 @@ def greedy_rb(
         if estimator is not None:
             online = estimator.offline(basis)
         result.extensions += 1
+        if checkpoint_path is not None:
+            from .io import save_greedy_state
+
+            save_greedy_state(checkpoint_path, basis, result.selected_mus,
+                              result.max_errors, result.extensions)
     result.reduced_model = rm
     result.basis = basis
     return result

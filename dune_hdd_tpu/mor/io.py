@@ -16,7 +16,7 @@ import numpy as np
 from ..parameters import ParameterFunctional, ParameterType
 from .reductor import ReducedModel
 
-__all__ = ["save_reduced_model", "load_reduced_model"]
+__all__ = ["save_reduced_model", "load_reduced_model", "save_greedy_state", "load_greedy_state"]
 
 
 def _coeffs_meta(coeffs):
@@ -69,3 +69,43 @@ def load_reduced_model(path: str) -> ReducedModel:
         jnp.asarray(data["basis"]),
         products,
     )
+
+
+def save_greedy_state(path: str, basis, selected_mus, max_errors,
+                      extensions: int) -> str:
+    """Checkpoint greedy training state (basis + history) so an interrupted
+    run resumes where it stopped (greedy_rb(checkpoint_path=...)).  The
+    reference keeps no training state on disk (survey 5.4); for long greedy
+    runs over expensive detailed solves this is the resume artifact."""
+    if not path.endswith(".npz"):
+        path += ".npz"
+    meta = {
+        "selected_mus": [
+            {k: np.asarray(v).tolist() for k, v in mu.items()} for mu in selected_mus
+        ],
+        "max_errors": [float(e) for e in max_errors],
+        "extensions": int(extensions),
+    }
+    np.savez(
+        path,
+        basis=np.asarray(basis),
+        meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
+    )
+    return path
+
+
+def load_greedy_state(path: str):
+    """(basis, selected_mus, max_errors, extensions) or None if absent."""
+    import os
+
+    if not path.endswith(".npz"):
+        path += ".npz"
+    if not os.path.exists(path):
+        return None
+    data = np.load(path)
+    meta = json.loads(bytes(data["meta"]).decode())
+    mus = [
+        {k: jnp.asarray(v) for k, v in mu.items()} for mu in meta["selected_mus"]
+    ]
+    return (jnp.asarray(data["basis"]), mus, list(meta["max_errors"]),
+            int(meta["extensions"]))

@@ -122,3 +122,22 @@ def test_matmat_consistency(tb_disc):
         np.testing.assert_allclose(
             np.asarray(Y[:, k]), np.asarray(A.matvec(X[:, k])), atol=1e-10
         )
+
+
+def test_greedy_checkpoint_resume(tb_disc, tmp_path):
+    """Interrupted greedy resumes from the checkpoint and reproduces the
+    uninterrupted run exactly (basis, history, selections)."""
+    mus = sample_uniformly(tb_disc.problem.parameter_type, 0.1, 1.0, 5)
+    full = greedy_rb(tb_disc, mus, target_error=0.0, max_extensions=4)
+    ckpt = str(tmp_path / "greedy_state")
+    part = greedy_rb(tb_disc, mus, target_error=0.0, max_extensions=2,
+                     checkpoint_path=ckpt)
+    assert part.extensions == 2
+    resumed = greedy_rb(tb_disc, mus, target_error=0.0, max_extensions=4,
+                        checkpoint_path=ckpt)
+    assert resumed.extensions == full.extensions
+    np.testing.assert_allclose(np.asarray(resumed.basis),
+                               np.asarray(full.basis), atol=1e-12)
+    assert [list(np.asarray(list(m.values())[0])) for m in resumed.selected_mus] == \
+           [list(np.asarray(list(m.values())[0])) for m in full.selected_mus]
+    np.testing.assert_allclose(resumed.max_errors, full.max_errors, rtol=1e-12)
