@@ -80,6 +80,12 @@ class BlockSWIPDGEstimators:
         # for the per-component self-weighted scheme - see
         # swipdg.scheme_flux_parts)
         recon = p.get("reconstruction", "frozen")
+        # penalty_mu-scheme discretizations assemble with FIXED weights; the
+        # consistent flux reconstruction uses the same pair (self-weighted
+        # "reference"-scheme problems keep the reference's frozen weights)
+        wdiff = None
+        if getattr(block_disc, "_scheme", None) == "penalty_mu":
+            wdiff = getattr(block_disc._global, "_weight_diffusion", None)
         if problem.parametric():
             for req in ("mu", "mu_bar", "mu_hat"):
                 if p.get(req) is None and req == "mu":
@@ -94,14 +100,14 @@ class BlockSWIPDGEstimators:
         if type_ == "eta_DF_OS2014":
             cells = SWIPDGEstimators._local_squared(
                 space, bi, problem, u, "eta_DF_ESV2007", mu=mu, mu_hat=mu_hat,
-                reconstruction=recon,
+                reconstruction=recon, weight_diffusion=wdiff,
             )
             return _segment_sum_by_subdomain(cells, ms)
 
         if type_ == "eta_DF_OS2014_*":
             cells = SWIPDGEstimators._local_squared(
                 space, bi, problem, u, "eta_DF_star", mu=mu, mu_hat=mu_hat,
-                reconstruction=recon,
+                reconstruction=recon, weight_diffusion=wdiff,
             )
             return _segment_sum_by_subdomain(cells, ms)
 
@@ -131,6 +137,8 @@ class BlockSWIPDGEstimators:
                     np.nonzero(bi.dirichlet_faces)[0],
                     np.nonzero(bi.neumann_faces)[0],
                     g_d, g_n,
+                    weight_lam_fn=(wdiff[0] if wdiff else None),
+                    weight_kap_fn=(wdiff[1] if wdiff else None),
                     flux_parts=(scheme_flux_parts(problem, mu)
                                 if (recon == "scheme" and problem.parametric())
                                 else None),

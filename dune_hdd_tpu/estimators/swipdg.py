@@ -497,7 +497,8 @@ class SWIPDGEstimators:
     # -- local (per-element squared) contributions --------------------------
     @classmethod
     def _local_squared(cls, space, boundary_info, problem, u, type_, mu=None,
-                       mu_hat=None, reconstruction: str = "frozen") -> jnp.ndarray:
+                       mu_hat=None, reconstruction: str = "frozen",
+                       weight_diffusion=None) -> jnp.ndarray:
         grid = space.grid
         frozen = problem.with_mu(mu) if problem.parametric() else problem
         lam = freeze_function(frozen.diffusion_factor)
@@ -511,8 +512,11 @@ class SWIPDGEstimators:
         # the flux reconstruction's weighting diffusion is the mu-frozen
         # diffusion itself (the reference reconstructs with
         # problem.with_mu(mu)'s affine part, estimators/block-swipdg.hh:
-        # 428-434, 676-684 — i.e. self-weighted at the frozen parameter)
-        wlam, wkap = lam, kap
+        # 428-434, 676-684 — i.e. self-weighted at the frozen parameter);
+        # pass weight_diffusion=(wlam, wkap) to match a penalty_mu-scheme
+        # discretization's FIXED weights instead (consistency of the
+        # reconstructed flux with the assembled numerical flux)
+        wlam, wkap = weight_diffusion if weight_diffusion is not None else (lam, kap)
         force = freeze_function(frozen.force)
         g_d = freeze_function(frozen.dirichlet)
         g_n = freeze_function(frozen.neumann)
@@ -616,33 +620,35 @@ class SWIPDGEstimators:
     # -- public surface ------------------------------------------------------
     @classmethod
     def estimate(cls, space, boundary_info, problem, u, type_, mu=None,
-                 mu_hat=None, reconstruction: str = "frozen") -> float:
+                 mu_hat=None, reconstruction: str = "frozen",
+                 weight_diffusion=None) -> float:
         if type_ == "eta_ESV2007":
-            nc = cls._local_squared(space, boundary_info, problem, u, "eta_NC_ESV2007", mu, mu_hat, reconstruction)
-            r = cls._local_squared(space, boundary_info, problem, u, "eta_R_ESV2007_*", mu, mu_hat, reconstruction)
-            df = cls._local_squared(space, boundary_info, problem, u, "eta_DF_ESV2007", mu, mu_hat, reconstruction)
+            nc = cls._local_squared(space, boundary_info, problem, u, "eta_NC_ESV2007", mu, mu_hat, reconstruction, weight_diffusion)
+            r = cls._local_squared(space, boundary_info, problem, u, "eta_R_ESV2007_*", mu, mu_hat, reconstruction, weight_diffusion)
+            df = cls._local_squared(space, boundary_info, problem, u, "eta_DF_ESV2007", mu, mu_hat, reconstruction, weight_diffusion)
             return float(jnp.sqrt(jnp.sum(nc + (jnp.sqrt(r) + jnp.sqrt(df)) ** 2)))
         if type_ == "eta_ESV2007_alt":
-            nc = cls._local_squared(space, boundary_info, problem, u, "eta_NC_ESV2007", mu, mu_hat, reconstruction)
-            r = cls._local_squared(space, boundary_info, problem, u, "eta_R_ESV2007_*", mu, mu_hat, reconstruction)
-            df = cls._local_squared(space, boundary_info, problem, u, "eta_DF_ESV2007", mu, mu_hat, reconstruction)
+            nc = cls._local_squared(space, boundary_info, problem, u, "eta_NC_ESV2007", mu, mu_hat, reconstruction, weight_diffusion)
+            r = cls._local_squared(space, boundary_info, problem, u, "eta_R_ESV2007_*", mu, mu_hat, reconstruction, weight_diffusion)
+            df = cls._local_squared(space, boundary_info, problem, u, "eta_DF_ESV2007", mu, mu_hat, reconstruction, weight_diffusion)
             return float(
                 jnp.sqrt(jnp.sum(nc)) + jnp.sqrt(jnp.sum(r)) + jnp.sqrt(jnp.sum(df))
             )
-        vals = cls._local_squared(space, boundary_info, problem, u, type_, mu, mu_hat, reconstruction)
+        vals = cls._local_squared(space, boundary_info, problem, u, type_, mu, mu_hat, reconstruction, weight_diffusion)
         return float(jnp.sqrt(jnp.sum(vals)))
 
     @classmethod
     def estimate_local(cls, space, boundary_info, problem, u, type_, mu=None,
-                       mu_hat=None, reconstruction: str = "frozen") -> np.ndarray:
+                       mu_hat=None, reconstruction: str = "frozen",
+                       weight_diffusion=None) -> np.ndarray:
         """Per-element squared indicators scaled by the squared total
         (swipdg.hh:700-719)."""
         if type_ == "eta_ESV2007":
-            nc = cls._local_squared(space, boundary_info, problem, u, "eta_NC_ESV2007", mu, mu_hat, reconstruction)
-            r = cls._local_squared(space, boundary_info, problem, u, "eta_R_ESV2007_*", mu, mu_hat, reconstruction)
-            df = cls._local_squared(space, boundary_info, problem, u, "eta_DF_ESV2007", mu, mu_hat, reconstruction)
+            nc = cls._local_squared(space, boundary_info, problem, u, "eta_NC_ESV2007", mu, mu_hat, reconstruction, weight_diffusion)
+            r = cls._local_squared(space, boundary_info, problem, u, "eta_R_ESV2007_*", mu, mu_hat, reconstruction, weight_diffusion)
+            df = cls._local_squared(space, boundary_info, problem, u, "eta_DF_ESV2007", mu, mu_hat, reconstruction, weight_diffusion)
             local = nc + (jnp.sqrt(r) + jnp.sqrt(df)) ** 2
         else:
-            local = cls._local_squared(space, boundary_info, problem, u, type_, mu, mu_hat, reconstruction)
+            local = cls._local_squared(space, boundary_info, problem, u, type_, mu, mu_hat, reconstruction, weight_diffusion)
         total = jnp.sum(local)
         return np.asarray(local / total)

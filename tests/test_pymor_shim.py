@@ -22,8 +22,10 @@ def test_shim_solve_matches_native():
         u_native = d.solve(d.problem.parse_parameter(mu), options={"type": "direct"})
         np.testing.assert_allclose(np.asarray(u_shim), np.asarray(u_native))
         assert "h1_semi" in m.products and "l2" in m.products
-        # affine structure exposed (one component per theta)
-        assert m.operator.num_components == 4
+        # affine structure exposed: one component per theta + the constant
+        # penalty part (the penalty_mu scheme keeps the penalty exactly once
+        # in an affine part, exported as a unit-coefficient component)
+        assert m.operator.num_components == 5
     else:  # real pymor installed
         U = m.solve({"diffusion_factor": np.asarray([0.3, 1.0, 0.7, 0.2])})
         u_native = d.solve(d.problem.parse_parameter(mu), options={"type": "direct"})
