@@ -139,3 +139,25 @@ record("OS2014.block.[4 4 1].mu0.1_bar0.1_hat1", "alu_conforming", 1, {
     "eta_DF_OS2014_*": [0.998228, 0.596825],
     "eta_OS2014": [3.58893, 4.09209],
 })
+
+# ---------------------------------------------------------------------------
+# SPE10 ParametricBlockModel1, [20 4 1], 100x20 macro grid, levels 0-1 —
+# OUR values on the documented synthetic field (the reference's
+# perm_case1.dat is not distributed; its table ..._spe10_2daluconform.cxx:
+# 36-75 is matched STRUCTURALLY: eta == eta_* at mu_hat == mu, plain eta
+# stagnates / star converges at mu_hat != mu, energy rate ~1).
+for _mus, _values in {
+    "mu0.1_bar0.1_hat0.1": {"energy_mu": [3.44836, 1.47451],
+                            "eta_OS2014": [9.29559, 4.08830],
+                            "eta_OS2014_*": [9.29559, 4.08830]},
+    "mu1_bar1_hat0.1": {"energy_mu": [3.44392, 1.47207],
+                        "eta_OS2014": [49.0474, 44.3156],
+                        "eta_OS2014_*": [6.38280, 2.65178]},
+    "mu0.1_bar0.1_hat1": {"energy_mu": [3.44836, 1.47451],
+                          "eta_OS2014": [35.3307, 29.9544],
+                          "eta_OS2014_*": [18.5272, 8.63450]},
+    "mu1_bar1_hat1": {"energy_mu": [3.44392, 1.47207],
+                      "eta_OS2014": [9.27974, 4.07744],
+                      "eta_OS2014_*": [9.27974, 4.07744]},
+}.items():
+    record(f"Spe10.parametric_block.[20 4 1].{_mus}", "alu_conforming", 1, _values)

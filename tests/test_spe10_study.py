@@ -53,3 +53,71 @@ def test_spe10_parametric_block():
     ind = BlockSWIPDGEstimators.estimate_local(d, u, "eta_OS2014_*", pars)
     assert ind.shape == (5,)
     assert (ind > 0).all()
+
+
+# ---------------------------------------------------------------------------
+# Reference-scale parametric study (verdict item 7): [20 4] partitioning on
+# the real 100x20 macro grid, num_refinements=1, the reference's four
+# (mu, mu_bar, mu_hat) triples (test/linearelliptic-block-swipdg-
+# expectations_spe10_2daluconform.cxx:36-75).  Values are OURS (synthetic
+# permeability field; the reference's perm_case1.dat is not distributed),
+# locked at 0.2%; the STRUCTURE matches the published table:
+#   * eta_OS2014 == eta_OS2014_* exactly at mu_hat == mu (ref: 3.67/3.67),
+#   * for mu_hat != mu the plain eta stagnates under refinement while the
+#     star variant keeps converging (ref: 3.54e+01 -> 3.43e+01 vs
+#     3.34 -> 2.21),
+#   * energy_mu converges at rate ~1.
+# Requires the sign-indefinite scheme guard (penalty_mu fallback) and the
+# weight-consistent flux reconstruction — see docs/DESIGN.md.
+SCALE_VALUES = {
+    (0.1, 0.1, 0.1): {"energy": [3.44836, 1.47451],
+                      "eta_OS2014": [9.29559, 4.08830],
+                      "eta_OS2014_*": [9.29559, 4.08830]},
+    (1.0, 1.0, 0.1): {"energy": [3.44392, 1.47207],
+                      "eta_OS2014": [49.0474, 44.3156],
+                      "eta_OS2014_*": [6.38280, 2.65178]},
+    (0.1, 0.1, 1.0): {"energy": [3.44836, 1.47451],
+                      "eta_OS2014": [35.3307, 29.9544],
+                      "eta_OS2014_*": [18.5272, 8.63450]},
+    (1.0, 1.0, 1.0): {"energy": [3.44392, 1.47207],
+                      "eta_OS2014": [9.27974, 4.07744],
+                      "eta_OS2014_*": [9.27974, 4.07744]},
+}
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("mus", sorted(SCALE_VALUES))
+def test_spe10_reference_scale(mus):
+    from dune_hdd_tpu.studies import EocStudy
+
+    mu, mu_bar, mu_hat = mus
+    tc = Spe10ParametricBlockModel1TestCase(
+        {"mu": mu, "mu_bar": mu_bar, "mu_hat": mu_hat, "mu_minimizing": 0.1},
+        num_partitions=(20, 4), num_refinements=1,
+    )
+    pars = tc.estimator_parameters()
+
+    def factory(grid, bi, problem):
+        return BlockSWIPDGDiscretization(grid, bi, problem, num_partitions=(20, 4))
+
+    def est(disc, u, t, level=None):
+        return BlockSWIPDGEstimators.estimate(disc, u, t, pars)
+
+    study = EocStudy(
+        tc, factory, norms=("energy",),
+        estimator_types=("eta_OS2014", "eta_OS2014_*"), estimate_fn=est,
+        mu=tc.parameters["mu"], energy_mu=tc.parameters["mu"],
+        solver_options={"type": "direct"},
+    )
+    res = study.run(verbose=False)
+    exp = SCALE_VALUES[mus]
+    for t, vals in exp.items():
+        for lvl in range(2):
+            assert res[t][lvl] == pytest.approx(vals[lvl], rel=2e-3), (t, lvl)
+    # structural assertions mirroring the reference table
+    if mu_hat == mu:
+        np.testing.assert_allclose(res["eta_OS2014"], res["eta_OS2014_*"], rtol=1e-6)
+    else:
+        assert res["eta_OS2014"][1] / res["eta_OS2014"][0] > 0.8  # stagnates
+        assert np.log2(res["eta_OS2014_*"][0] / res["eta_OS2014_*"][1]) > 0.9
+    assert np.log2(res["energy"][0] / res["energy"][1]) > 0.9
