@@ -55,6 +55,7 @@ def test_p2_esv2007_eoc(disc_cls):
     assert l2[0] < 2e-2
 
 
+@pytest.mark.slow
 def test_p2_estimators_optimal_rates():
     """Beyond the reference (polOrder-1/RT0-only estimators): P2 SWIPDG with
     conforming-P2 Oswald averaging and the RT1 equilibrated flux.  Rates:
