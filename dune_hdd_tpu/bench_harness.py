@@ -126,10 +126,17 @@ def build_spe10_bench(bisections: int = 4, maxiter: int = 300,
 
     asm_jit = jax.jit(assemble)
 
-    macro = tuple(
-        int(x) for x in os.environ.get(
-            "BENCH_MACRO", f"{MODEL1_NX},{MODEL1_NZ}").split(",")
-    ) if preconditioner == "deflation" else None
+    macro = None
+    if preconditioner == "deflation":
+        raw = os.environ.get("BENCH_MACRO", f"{MODEL1_NX},{MODEL1_NZ}")
+        try:
+            macro = tuple(int(x) for x in raw.split(","))
+            if len(macro) != 2 or macro[0] <= 0 or macro[1] <= 0:
+                raise ValueError
+        except ValueError:
+            raise ValueError(
+                f"BENCH_MACRO must be two positive ints 'nx,nz', got {raw!r}"
+            ) from None
 
     def solve_deflation(A32, b32):
         # bandwidth-ordered path: permute into structured numbering so the
@@ -164,6 +171,16 @@ def build_spe10_bench(bisections: int = 4, maxiter: int = 300,
                     inner_iters=inner_iters, M=M, unroll=4,
                 )
                 return u_st[perm], res
+        # observable fallback: the requested macro does not tile the
+        # structured lattice — the gather path below uses the hardcoded
+        # MODEL1 aggregation instead of BENCH_MACRO
+        import logging
+
+        logging.getLogger("dune_hdd_tpu.bench").warning(
+            "structured deflation unavailable (macro %s does not tile the "
+            "lattice); falling back to the gather path with the %dx%d "
+            "MODEL1 aggregation", macro, MODEL1_NX, MODEL1_NZ,
+        )
         return refined_deflated_solve(
             A32, b32, cell_agg, n_agg, tol=tol, inner_iters=inner_iters,
         )
@@ -181,7 +198,14 @@ def build_spe10_bench(bisections: int = 4, maxiter: int = 300,
                 A_s, b_s, s = asm_jit(field)
             u_s, res = solve_jit(A_s, b_s)
             return u_s * s.astype(u_s.dtype), res
-        A_s, b_s, s = asm_jit(field)
+        return _solve_other_jit(field)
+
+    @jax.jit
+    def _solve_other_jit(field):
+        # jitted end-to-end for the non-deflation preconditioners too: the
+        # MG hierarchy build / block_cg setup trace ONCE at compile time
+        # instead of rebuilding eagerly on every timed call
+        A_s, b_s, s = assemble(field)
         M = None
         if preconditioner == "mg":
             hierarchy = MultigridHierarchy(grids, A_s, pre=3, post=3)

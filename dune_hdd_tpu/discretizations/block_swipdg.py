@@ -398,6 +398,11 @@ class BlockSWIPDGDiscretization(StationaryDiscretization):
             bounds = np.clip(bounds, 1, S - 1)
             for i in range(1, len(bounds)):  # strictly increasing
                 bounds[i] = max(bounds[i], bounds[i - 1] + 1)
+            # the forward repair can push bounds past S-1 for skewed DoF
+            # distributions (e.g. sizes [1,...,1,1000]); clamp from the top
+            # so every trailing device keeps at least one subdomain
+            for i in range(len(bounds) - 1, -1, -1):
+                bounds[i] = min(bounds[i], S - (len(bounds) - i))
             groups = np.split(np.arange(S), bounds)
             return [
                 np.concatenate([self._local_dof_map(ss) for ss in g])

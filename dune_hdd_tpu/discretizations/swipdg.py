@@ -104,12 +104,31 @@ class SWIPDGDiscretization(StationaryDiscretization):
         penalty_mu=None,
         scheme: Optional[str] = None,
     ):
+        explicit_scheme = scheme is not None
         if scheme is None:
             scheme = "penalty_mu" if penalty_mu is not None else "reference"
         if scheme not in ("reference", "penalty_mu"):
             raise ValueError(f"unknown scheme {scheme!r}")
+        self.scheme_substituted = False
         if scheme == "reference" and problem.parametric():
-            scheme = _guard_sign_indefinite_scheme(problem, grid, scheme)
+            guarded = _guard_sign_indefinite_scheme(problem, grid, scheme)
+            if guarded != scheme:
+                # observable substitution: a sign-indefinite affine part makes
+                # the self-weighted scheme lose coercivity (negative face
+                # penalties), so we fall back — recorded on the
+                # discretization, and warned about when the user explicitly
+                # requested reference-scheme semantics
+                self.scheme_substituted = True
+                if explicit_scheme:
+                    import warnings
+
+                    warnings.warn(
+                        "SWIPDG scheme='reference' requires a strictly "
+                        "positive diffusion-factor affine part; falling back "
+                        "to scheme='penalty_mu' (sign-indefinite "
+                        "decomposition)", RuntimeWarning, stacklevel=2,
+                    )
+            scheme = guarded
         self.scheme = scheme
         if not isinstance(boundary_info, BoundaryInfo):
             boundary_info = make_boundary_info(grid, boundary_info)

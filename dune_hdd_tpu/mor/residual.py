@@ -17,9 +17,14 @@ mu-independent Gramians of the residual generators:
 (offline: one P-solve per generator, cached incrementally per basis row);
 online the estimate is O(Q^2 n^2) dense algebra — no detailed operator
 touches.  With a coercivity lower bound alpha_LB(mu) of A(mu) w.r.t. P the
-energy-norm error bound is ||u - u_rb||_P <= ||rho||_P / alpha_LB(mu)
+*energy-norm* error bound applied by ``OnlineResidual.estimate`` is
+
+    ||u - u_rb||_mu <= ||rho||_P / sqrt(alpha_LB(mu))
+
 (standard RB a posteriori theory; pyMOR's ReduceStationaryCoerciveRB, which
-the reference's thermalblock workflow instantiates).
+the reference's thermalblock workflow instantiates, divides by alpha_LB for
+the P-norm bound instead — divide the returned estimate by another
+sqrt(alpha_LB) to recover that).
 """
 from __future__ import annotations
 

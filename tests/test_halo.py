@@ -90,6 +90,27 @@ def test_block_swipdg_as_sharded_subdomain_aligned(mesh):
     np.testing.assert_allclose(np.asarray(u), np.asarray(u_ref), atol=1e-8)
 
 
+def test_subdomain_row_blocks_skewed_sizes():
+    """Skewed subdomain DoF sizes must not push split bounds past S-1
+    (advisor round-2 repro: sizes [1]*7 + [1000] with 8 devices produced
+    empty groups and a np.concatenate([]) ValueError)."""
+    sizes = [1] * 7 + [1000]
+    offsets = np.concatenate([[0], np.cumsum(sizes)])
+
+    class Stub:
+        def num_subdomains(self):
+            return len(sizes)
+
+        def _local_dof_map(self, ss):
+            return np.arange(offsets[ss], offsets[ss + 1])
+
+    blocks = BlockSWIPDGDiscretization.subdomain_row_blocks(Stub(), 8)
+    assert len(blocks) == 8
+    assert all(len(b) > 0 for b in blocks)
+    np.testing.assert_array_equal(
+        np.sort(np.concatenate(blocks)), np.arange(sum(sizes)))
+
+
 def test_subdomain_row_blocks_whole_subdomains():
     grid = alu_cube_grid((0, 0), (1, 1), (8, 8), refinements=0)
     disc = BlockSWIPDGDiscretization(grid, BI, ThermalblockProblem((2, 2)),
