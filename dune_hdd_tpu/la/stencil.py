@@ -1,0 +1,517 @@
+"""SoA (structure-of-arrays) stencil form of the structured block operator.
+
+``StructuredBlockEll`` (la/block_ell.py) already replaces the neighbour
+gather by static slices, but its [NC, 4, nd, nd] layout puts tiny size-3/4
+axes in the minor (lane/sublane) dimensions — XLA pads them to the 8x128
+tile, so the SpMV runs ~8x below stream bandwidth.  Here the operator lives
+as *planes* W[slot, i, j, subclass, KY, KX] with the lattice dims minor
+(dense sublane/lane tiling) and vectors live as X[nd, 8, KY, KX]; every
+neighbour access is a small 2-axis roll and the FMA core is 36 fused
+elementwise multiply-adds — one clean pass over the 9.2 MB of blocks.
+
+Key identity (proved per-offset in ``stencil_plan``, verified in tests):
+for a subclass-k cell at lattice position (iy, ix), its geometric slot-s
+neighbour is the subclass-``k_src`` cell at (iy+dy, ix+dx); entries where the
+2-axis roll wraps differ from the flat-offset semantics of
+StructuredBlockEll only where the blocks are zero (domain boundary), because
+a wrapped read is never the true neighbour and the block-ELL invariant puts
+zero blocks exactly there.
+
+This is the TPU image of the reference's bandwidth-tuned CPU assembly/solve
+loops (dune/hdd/linearelliptic/discretizations/base.hh:327-367 solver
+semantics); the deflation/two-level pieces mirror la/deflation.py in the
+plane layout with all per-iteration ops regular (rolls, reshape-sums,
+broadcasts; no gather/scatter).
+"""
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .block_ell import BlockEllMatrix, StructuredBlockEll, inv3x3
+
+__all__ = [
+    "StencilBlockEll",
+    "stencil_plan",
+    "soa_index_maps",
+    "jacobi_smoother",
+    "chebyshev_smoother",
+    "stencil_deflation_preconditioner",
+    "stencil_refined_solve",
+]
+
+
+def stencil_plan(order) -> Tuple[Tuple[Tuple[int, int, int], ...], ...]:
+    """Per (subclass k, slot s): (k_src, dy, dx) with the slot-s neighbour
+    field of subclass k equal to roll2d(X[k_src], (-dy, -dx))."""
+    KY, KX = order.lattice
+    L = KY * KX
+    NC = order.num_cells
+    plan = []
+    for k in range(8):
+        row = []
+        for s in range(3):
+            o = int(order.offsets[k][s]) % NC
+            oc = ((o + NC // 2) % NC) - NC // 2
+            dk = int(np.round(oc / L))
+            r = oc - dk * L
+            dy = int(np.round(r / KX))
+            dx = r - dy * KX
+            if abs(dy) > 2 or abs(dx) > 2:
+                raise ValueError(
+                    f"offset {oc} for subclass {k} slot {s} is not a small "
+                    f"lattice shift (dy={dy}, dx={dx})")
+            row.append(((k + dk) % 8, dy, dx))
+        plan.append(tuple(row))
+    return tuple(plan)
+
+
+class _SoAMaps(NamedTuple):
+    to_soa: np.ndarray    # [nd*NC] flat gather: soa_flat = x[to_soa]
+    from_soa: np.ndarray  # [NC*nd] flat gather: x = soa_flat[from_soa]
+
+
+def soa_index_maps(order, nd: int) -> _SoAMaps:
+    """Static index maps between the flat cell-major vector in ORIGINAL cell
+    order and the SoA [nd, 8, KY, KX] layout (flattened)."""
+    NC = order.num_cells
+    inv = np.asarray(order.inv)   # new -> old
+    perm = np.asarray(order.perm)  # old -> new
+    # soa position (j, new) <- old flat index inv[new]*nd + j
+    to_soa = (inv[None, :] * nd + np.arange(nd)[:, None]).reshape(-1)
+    # old flat (old, j) <- soa flat j*NC + perm[old]
+    from_soa = (np.arange(nd)[None, :] * NC + perm[:, None]).reshape(-1)
+    return _SoAMaps(to_soa.astype(np.int32), from_soa.astype(np.int32))
+
+
+class _Static:
+    """Hashable aux-data wrapper (cf. block_ell._StaticArray)."""
+
+    __slots__ = ("value", "_key")
+
+    def __init__(self, value):
+        self.value = value
+        self._key = repr(value)
+
+    def __hash__(self):
+        return hash(self._key)
+
+    def __eq__(self, other):
+        return isinstance(other, _Static) and self._key == other._key
+
+
+@jax.tree_util.register_pytree_node_class
+class StencilBlockEll:
+    """planes [4, nd, nd, 8, KY, KX] (slot 0 = self); plan: 8x3 static
+    (k_src, dy, dx) lattice shifts."""
+
+    def __init__(self, planes: jnp.ndarray, plan):
+        self.planes = planes
+        self.plan = tuple(tuple(tuple(int(v) for v in e) for e in row)
+                          for row in plan)
+
+    def tree_flatten(self):
+        if not hasattr(self, "_aux"):
+            self._aux = _Static(self.plan)
+        return (self.planes,), self._aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], aux.value)
+
+    @property
+    def nd(self):
+        return self.planes.shape[1]
+
+    @property
+    def lattice(self):
+        return self.planes.shape[-2], self.planes.shape[-1]
+
+    @property
+    def num_cells(self):
+        return 8 * self.planes.shape[-2] * self.planes.shape[-1]
+
+    def with_planes(self, planes):
+        return StencilBlockEll(planes, self.plan)
+
+    def astype(self, dtype):
+        return self.with_planes(self.planes.astype(dtype))
+
+    @classmethod
+    def from_block_ell(cls, A: BlockEllMatrix, order) -> "StencilBlockEll":
+        """One static gather of the block array into plane layout (jit-safe;
+        setup cost ~1 pass over the operator)."""
+        A_st = StructuredBlockEll.from_block_ell(A, order)
+        return cls.from_structured(A_st, order)
+
+    @classmethod
+    def from_structured(cls, A_st: StructuredBlockEll, order) -> "StencilBlockEll":
+        KY, KX = order.lattice
+        nd = A_st.nd
+        plan = stencil_plan(order)
+        blocks = A_st.blocks.reshape(8, KY, KX, 4, nd, nd)
+        planes = jnp.moveaxis(blocks, (3, 4, 5), (0, 1, 2))  # [4,nd,nd,8,KY,KX]
+        return cls(planes, plan)
+
+    # -- vector layout ------------------------------------------------------
+
+    def neighbor_fields(self, X: jnp.ndarray):
+        """[4][nd, 8, KY, KX] neighbour fields (self + 3 slots) of X."""
+        fields = [X]
+        for s in range(3):
+            per_k = []
+            for k in range(8):
+                ks, dy, dx = self.plan[k][s]
+                per_k.append(jnp.roll(X[:, ks], shift=(-dy, -dx), axis=(1, 2)))
+            fields.append(jnp.stack(per_k, axis=1))
+        return fields
+
+    def matvec(self, X: jnp.ndarray) -> jnp.ndarray:
+        """X [nd, 8, KY, KX] -> A X in the same layout; 24 rolls + 36 FMAs,
+        all fused elementwise (exact f32 — no matmul/bf16 pass involved)."""
+        W = self.planes
+        nd = self.nd
+        fields = self.neighbor_fields(X)
+        acc = []
+        for i in range(nd):
+            t = None
+            for s in range(4):
+                for j in range(nd):
+                    c = W[s, i, j] * fields[s][j]
+                    t = c if t is None else t + c
+            acc.append(t)
+        return jnp.stack(acc, axis=0)
+
+    __matmul__ = matvec
+
+    def diagonal_blocks(self) -> jnp.ndarray:
+        """[nd, nd, 8, KY, KX]."""
+        return self.planes[0]
+
+    def row_sums(self) -> jnp.ndarray:
+        """AZ planes: [4, nd, 8, KY, KX] with AZ[s,i,c] = sum_j W[s,i,j,c]
+        (the action of A on the indicator of the neighbour's aggregate)."""
+        return self.planes.sum(axis=2)
+
+
+# -- smoothers ---------------------------------------------------------------
+
+
+def jacobi_smoother(A: StencilBlockEll) -> Callable:
+    """Blockwise inverse of the diagonal nd x nd blocks, SoA layout."""
+    D = A.diagonal_blocks()  # [nd, nd, 8, KY, KX]
+    nd = A.nd
+    if nd == 3:
+        Dm = jnp.moveaxis(D, (0, 1), (-2, -1))
+        Dinv = jnp.moveaxis(inv3x3(Dm), (-2, -1), (0, 1))
+    else:
+        Dm = jnp.moveaxis(D, (0, 1), (-2, -1))
+        Dinv = jnp.moveaxis(jnp.linalg.inv(Dm), (-2, -1), (0, 1))
+
+    def apply(R):
+        return jnp.einsum("ij...,j...->i...", Dinv, R)
+
+    return apply
+
+
+def estimate_lambda_max(A: StencilBlockEll, smoother: Callable,
+                        iters: int = 12, seed: int = 0) -> jnp.ndarray:
+    """Power iteration on M_J^-1 A (setup-time; ~``iters`` matvecs)."""
+    KY, KX = A.lattice
+    rng = np.random.default_rng(seed)
+    v = jnp.asarray(rng.standard_normal((A.nd, 8, KY, KX)), dtype=A.planes.dtype)
+
+    def body(_, v):
+        w = smoother(A.matvec(v))
+        return w / jnp.linalg.norm(w)
+
+    v = jax.lax.fori_loop(0, iters, body, v / jnp.linalg.norm(v))
+    w = smoother(A.matvec(v))
+    return jnp.vdot(v, w) / jnp.vdot(v, v)
+
+
+def chebyshev_smoother(A: StencilBlockEll, degree: int = 3,
+                       lmax: Optional[jnp.ndarray] = None,
+                       ratio: float = 8.0,
+                       lmax_safety: float = 1.1) -> Callable:
+    """Chebyshev polynomial smoother in M_J^-1 A on [lmax/ratio, lmax]
+    (hypre-style AMG smoothing; SPD for even/odd degree since the shifted
+    Chebyshev polynomial is positive on the spectrum — safe inside CG)."""
+    Mj = jacobi_smoother(A)
+    if lmax is None:
+        lmax = estimate_lambda_max(A, Mj)
+    lmax = lmax * lmax_safety
+    lmin = lmax / ratio
+    theta = 0.5 * (lmax + lmin)
+    delta = 0.5 * (lmax - lmin)
+    sigma = theta / delta
+
+    def apply(R):
+        # smoothing iteration for A x = R, x0 = 0 (Saad, Iterative Methods,
+        # alg. 12.1 adapted to preconditioned residual polynomials)
+        rho = 1.0 / sigma
+        z = Mj(R)
+        d = z / theta
+        x = d
+        for _ in range(degree - 1):
+            rho_new = 1.0 / (2.0 * sigma - rho)
+            r = R - A.matvec(x)
+            d = (rho_new * rho) * d + (2.0 * rho_new / delta) * Mj(r)
+            x = x + d
+            rho = rho_new
+        return x
+
+    return apply
+
+
+# -- two-level deflation in plane layout -------------------------------------
+
+
+class _Aggregation(NamedTuple):
+    aggsum: Callable      # [.., 8, KY, KX] -> [n_agg] (sum over nd too)
+    broadcast: Callable   # [n_agg] -> [8, KY, KX] scalar field
+    mx: int
+    my: int
+    fy: int
+    fx: int
+
+
+def _aggregation(A: StencilBlockEll, macro_shape) -> Optional[_Aggregation]:
+    KY, KX = A.lattice
+    mx, my = int(macro_shape[0]), int(macro_shape[1])
+    if KX % mx or KY % my:
+        return None
+    fy, fx = KY // my, KX // mx
+    # aggregate id = ix_macro * my + iy_macro (cf. aggregate_map_from_points)
+
+    def aggsum(R):
+        # R [..., 8, KY, KX] -> [n_agg]; sums leading dims too
+        lead = R.shape[:-3]
+        rc = R.reshape(lead + (8, my, fy, mx, fx))
+        axes = tuple(range(len(lead))) + (len(lead),) + (len(lead) + 2, len(lead) + 4)
+        return rc.sum(axis=axes).T.reshape(-1)  # [my,mx] -> [mx,my] flat
+
+    def broadcast(yc):
+        g = yc.reshape(mx, my).T  # [my, mx]
+        g = jnp.broadcast_to(g[None, :, None, :, None], (8, my, fy, mx, fx))
+        return g.reshape(8, my * fy, mx * fx)
+
+    return _Aggregation(aggsum, broadcast, mx, my, fy, fx)
+
+
+def _coarse_E(A: StencilBlockEll, agg: _Aggregation) -> jnp.ndarray:
+    """E = Z^T A Z via one static scatter-add of plane block sums (setup)."""
+    KY, KX = A.lattice
+    mx, my, fy, fx = agg.mx, agg.my, agg.fy, agg.fx
+    n_agg = mx * my
+    iy, ix = np.meshgrid(np.arange(KY), np.arange(KX), indexing="ij")
+    agg_field = (ix // fx) * my + (iy // fy)  # [KY, KX]
+    rows = np.broadcast_to(agg_field, (4, 8, KY, KX)).copy()
+    cols = np.empty((4, 8, KY, KX), dtype=np.int64)
+    cols[0] = agg_field
+    valid = np.ones((4, 8, KY, KX), dtype=bool)
+    for s in range(3):
+        for k in range(8):
+            _, dy, dx = A.plan[k][s]
+            shifted = np.roll(np.roll(agg_field, -dy, axis=0), -dx, axis=1)
+            cols[s + 1, k] = shifted
+            # wrapped entries carry zero blocks; mark anyway for clarity
+            if dy > 0:
+                valid[s + 1, k, KY - dy:, :] = False
+            elif dy < 0:
+                valid[s + 1, k, : -dy, :] = False
+            if dx > 0:
+                valid[s + 1, k, :, KX - dx:] = False
+            elif dx < 0:
+                valid[s + 1, k, :, : -dx] = False
+    flat = (rows * n_agg + cols).reshape(-1)
+    sums = A.planes.sum(axis=(1, 2)).reshape(-1)  # [4*8*KY*KX]
+    sums = sums * jnp.asarray(valid.reshape(-1), dtype=sums.dtype)
+    E = jnp.zeros(n_agg * n_agg, dtype=sums.dtype)
+    E = E.at[jnp.asarray(flat)].add(sums)
+    return E.reshape(n_agg, n_agg)
+
+
+def _coarse_inverse(E: jnp.ndarray, newton_schulz: int = 3) -> Callable:
+    """Dense symmetrized inverse of the diagonally-scaled coarse operator
+    (f32 LU + Newton-Schulz refinement; cf. la/deflation._coarse_inverse)."""
+    hp = jax.lax.Precision.HIGHEST
+    d = jnp.sqrt(jnp.maximum(jnp.abs(jnp.diag(E)), 1e-30))
+    Es = ((E / d[:, None]) / d[None, :]).astype(jnp.float32)
+    Einv = jnp.linalg.inv(Es)
+    two_eye = 2.0 * jnp.eye(Es.shape[0], dtype=jnp.float32)
+    for _ in range(newton_schulz):
+        EX = jnp.matmul(Es, Einv, precision=hp)
+        Einv = jnp.matmul(Einv, two_eye - EX, precision=hp)
+    Einv = 0.5 * (Einv + Einv.T)
+
+    def solve(rc):
+        y = jnp.matmul(Einv, (rc / d).astype(jnp.float32), precision=hp)
+        return (y / d).astype(rc.dtype)
+
+    return solve
+
+
+def stencil_deflation_preconditioner(
+    A: StencilBlockEll,
+    macro_shape,
+    smoother: Optional[Callable] = None,
+    newton_schulz: int = 3,
+    use_az: bool = True,
+) -> Optional[Callable]:
+    """Balanced two-level preconditioner, all ops regular in the plane
+    layout:
+
+        M^-1 r = Q r + (I - Q A) S (I - A Q) r,   Q = Z E^-1 Z^T.
+
+    With ``use_az`` the A-projections ride precomputed AZ planes
+    (AZ[s,i] = sum_j W[s,i,j], ~1/3 of the operator bytes) instead of full
+    matvecs: A(Qr) = sum_s AZ[s] * roll_s(broadcast(yc)), and
+    Z^T A s = aggsum_s(roll_s^-1(AZ[s] . s)) by symmetry of the pairing.
+    """
+    agg = _aggregation(A, macro_shape)
+    if agg is None:
+        return None
+    if smoother is None:
+        smoother = jacobi_smoother(A)
+    E = _coarse_E(A, agg)
+    coarse = _coarse_inverse(E, newton_schulz)
+    nd = A.nd
+
+    if not use_az:
+        def apply_balanced(R):
+            yc = coarse(agg.aggsum(R))
+            Qr = jnp.broadcast_to(agg.broadcast(yc)[None], R.shape)
+            s = smoother(R - A.matvec(Qr))
+            zas = coarse(agg.aggsum(A.matvec(s)))
+            return Qr + s - jnp.broadcast_to(agg.broadcast(zas)[None], R.shape)
+
+        return apply_balanced
+
+    AZ = A.row_sums()  # [4, nd, 8, KY, KX]
+    plan = A.plan
+
+    def a_broadcast(yc):
+        """A (Z yc) [nd, 8, KY, KX] via AZ planes + rolled broadcast."""
+        B0 = agg.broadcast(yc)  # [8, KY, KX]
+        out = AZ[0] * B0[None]
+        for s in range(3):
+            per_k = []
+            for k in range(8):
+                ks, dy, dx = plan[k][s]
+                per_k.append(jnp.roll(B0[ks], shift=(-dy, -dx), axis=(0, 1)))
+            Bs = jnp.stack(per_k, axis=0)  # [8, KY, KX]
+            out = out + AZ[s + 1] * Bs[None]
+        return out
+
+    def zt_a(Svec):
+        """Z^T A s via AZ planes: scatter each slot's pairing back to the
+        neighbour's lattice position with the inverse roll, then aggsum."""
+        P0 = (AZ[0] * Svec).sum(axis=0)  # [8, KY, KX]
+        total = P0
+        for s in range(3):
+            Ps = (AZ[s + 1] * Svec).sum(axis=0)  # [8, KY, KX]
+            out_k = [None] * 8
+            for k in range(8):
+                ks, dy, dx = plan[k][s]
+                contrib = jnp.roll(Ps[k], shift=(dy, dx), axis=(0, 1))
+                out_k[ks] = contrib if out_k[ks] is None else out_k[ks] + contrib
+            # every slot's k -> k_src map is a bijection for the NVB
+            # subclass structure; assert at trace time
+            assert all(o is not None for o in out_k), "slot map not bijective"
+            total = total + jnp.stack(out_k, axis=0)
+        return agg.aggsum(total)
+
+    def apply_balanced_az(R):
+        yc = coarse(agg.aggsum(R))
+        Qr = jnp.broadcast_to(agg.broadcast(yc)[None], R.shape)
+        s = smoother(R - a_broadcast(yc))
+        zas = zt_a(s)
+        return Qr + s - jnp.broadcast_to(agg.broadcast(coarse(zas))[None], R.shape)
+
+    return apply_balanced_az
+
+
+# -- mixed-precision refined PCG ---------------------------------------------
+
+
+def stencil_pcg(A: StencilBlockEll, B: jnp.ndarray, M: Callable,
+                rtol: float = 1e-5, maxiter: int = 150,
+                unroll: int = 4):
+    """f32 PCG in SoA layout; returns (X, iterations).  The rhs is assumed
+    pre-scaled to ||B|| = 1 so the recurrence residual is relative."""
+    X = jnp.zeros_like(B)
+    Z = M(B)
+    P = Z
+    rz = jnp.vdot(B, Z)
+    R = B
+    stop2 = jnp.asarray(rtol * rtol, dtype=B.dtype)
+
+    def cond(state):
+        X, R, Z, P, rz, k = state
+        return (jnp.vdot(R, R) > stop2) & (k < maxiter)
+
+    def one(state):
+        X, R, Z, P, rz, k = state
+        AP = A.matvec(P)
+        pap = jnp.vdot(P, AP)
+        alpha = jnp.where(pap > 0, rz / jnp.where(pap > 0, pap, 1.0), 0.0)
+        X = X + alpha * P
+        R = R - alpha * AP
+        Z = M(R)
+        rz_new = jnp.vdot(R, Z)
+        beta = jnp.where(rz > 0, rz_new / jnp.where(rz > 0, rz, 1.0), 0.0)
+        P = Z + beta * P
+        return X, R, Z, P, rz_new, k + 1
+
+    def step(state):
+        for _ in range(max(1, int(unroll))):
+            state = one(state)
+        return state
+
+    out = jax.lax.while_loop(cond, step, (X, R, Z, P, rz, jnp.int32(0)))
+    return out[0], out[5]
+
+
+def stencil_refined_solve(
+    A: StencilBlockEll,
+    B: jnp.ndarray,
+    M: Callable,
+    tol: float = 1e-6,
+    inner_iters: int = 150,
+    inner_rtol: float = 1e-5,
+    outer_max: int = 6,
+    unroll: int = 4,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """f32 deflated PCG inside f64 iterative refinement (the exact image of
+    la/deflation.refined_deflated_solve in the plane layout).  Returns
+    (X float64, true relative residual, total inner iterations).  Requires
+    jax_enable_x64 for the outer residual."""
+    f32 = jnp.float32
+    A64 = A.astype(jnp.float64)
+    B64 = B.astype(jnp.float64)
+    bnorm = jnp.linalg.norm(B64)
+    target = tol * jnp.maximum(bnorm, 1e-300)
+
+    def cond(state):
+        X, rnorm, k, it = state
+        return (rnorm > target) & (k < outer_max)
+
+    def body(state):
+        X, rnorm, k, it = state
+        R64 = B64 - A64.matvec(X)
+        scale = jnp.linalg.norm(R64)
+        dX, ki = stencil_pcg(A, (R64 / scale).astype(f32), M,
+                             rtol=inner_rtol, maxiter=inner_iters,
+                             unroll=unroll)
+        X = X + dX.astype(jnp.float64) * scale
+        rnorm = jnp.linalg.norm(B64 - A64.matvec(X))
+        return X, rnorm, k + 1, it + ki
+
+    X0 = jnp.zeros_like(B64)
+    X, rnorm, k, it = jax.lax.while_loop(
+        cond, body, (X0, bnorm, jnp.int32(0), jnp.int32(0)))
+    return X, rnorm / jnp.maximum(bnorm, 1e-300), it
