@@ -169,16 +169,30 @@ def greedy_lrbms(
     final_compression: bool = False,
     solver_options: Optional[dict] = None,
     verbose: bool = False,
+    use_estimator=False,
+    coercivity=None,
 ) -> GreedyResult:
     """LRBMS greedy: the basis is block-structured — per-subdomain local
     bases orthonormalized with the *local* products, globalized as
     zero-padded rows (thermalblock_main.py:191-295).  Snapshots are localized
     (d.localize_vector) and each subdomain's basis is extended independently.
+
+    use_estimator=True/"riesz": candidate selection via the offline/online
+    Riesz residual estimator on the globalized basis (mor/residual.py) — one
+    detailed solve per extension instead of |training_set| per sweep (the
+    pyMOR-reductor semantics of the reference workflow).
     """
     d = block_discretization
     S = d.num_subdomains()
     reductor = RBReductor(d)
     error_product = d.product_matrix(error_norm)
+    estimator = online = None
+    if use_estimator in (True, "riesz"):
+        from .residual import RieszResidualEstimator
+
+        estimator = RieszResidualEstimator(
+            d, product=error_norm, coercivity=coercivity
+        )
     local_products = [d.get_local_product(ss, local_product).freeze({}) for ss in range(S)]
     nloc = [len(d._local_dof_map(ss)) for ss in range(S)]
     local_bases: List[jnp.ndarray] = [jnp.zeros((0, nloc[ss])) for ss in range(S)]
@@ -201,12 +215,20 @@ def greedy_lrbms(
 
     basis = globalize(local_bases)
     rm = reductor.reduce(basis)
+    if estimator is not None:
+        online = estimator.offline(basis)
     result = GreedyResult(rm, basis)
     for it in range(max_extensions + 1):
-        errors = [
-            reductor.true_error(rm, mu, error_norm, solver_options) if rm.dim else float("inf")
-            for mu in training_set
-        ]
+        if estimator is not None:
+            errors = [
+                online.estimate(mu, rm.solve(mu) if rm.dim else jnp.zeros((0,)))
+                for mu in training_set
+            ]
+        else:
+            errors = [
+                reductor.true_error(rm, mu, error_norm, solver_options) if rm.dim else float("inf")
+                for mu in training_set
+            ]
         worst = int(np.argmax(errors))
         max_err = errors[worst]
         result.max_errors.append(max_err if np.isfinite(max_err) else -1.0)
@@ -227,6 +249,8 @@ def greedy_lrbms(
             local_bases[ss] = gram_schmidt(stacked, local_products[ss])
         basis = globalize(local_bases)
         rm = reductor.reduce(basis)
+        if estimator is not None:
+            online = estimator.offline(basis)
         result.extensions += 1
     if final_compression and basis.shape[0]:
         basis, _ = pod(basis, error_product)

@@ -132,45 +132,34 @@ class RieszResidualEstimator:
         rf = np.stack([self._solve_P(v) for v in f])  # [Qf, N]
         self._f = f
         self._G_ff = jnp.asarray(rf @ f.T)
-        # per-basis-row caches
-        self._rows: List[np.ndarray] = []       # basis rows seen so far
-        self._Ab: List[np.ndarray] = []          # [Qa, N] per row: A_q b
-        self._rAb: List[np.ndarray] = []         # [Qa, N] per row: P^{-1} A_q b
+        # content-addressed per-basis-row cache: LRBMS globalization REORDERS
+        # rows when a subdomain basis grows (all of subdomain 0's rows first,
+        # then 1's, ...), so a prefix-based cache would rebuild everything on
+        # each extension; keying by row content survives reorders
+        self._row_cache: Dict[bytes, tuple] = {}
 
-    def _extend_cache(self, basis: jnp.ndarray):
-        rows = np.asarray(basis, dtype=np.float64)
-        # validate the prefix is unchanged (greedy appends; gram_schmidt does
-        # not touch previously orthonormalized rows)
-        n_cached = len(self._rows)
-        for i in range(min(n_cached, len(rows))):
-            if not np.array_equal(self._rows[i], rows[i]):
-                # prefix changed (e.g. POD recompression): rebuild everything
-                self._rows, self._Ab, self._rAb = [], [], []
-                n_cached = 0
-                break
-        for i in range(len(self._rows), len(rows)):
-            b = rows[i]
-            Ab = np.stack([np.asarray(m.matvec(jnp.asarray(b)), dtype=np.float64)
+    def _row_data(self, row: np.ndarray) -> tuple:
+        key = row.tobytes()
+        hit = self._row_cache.get(key)
+        if hit is None:
+            Ab = np.stack([np.asarray(m.matvec(jnp.asarray(row)), dtype=np.float64)
                            for m in self.op_components])
             rAb = np.stack([self._solve_P(v) for v in Ab])
-            self._rows.append(b)
-            self._Ab.append(Ab)
-            self._rAb.append(rAb)
-        if len(rows) < len(self._rows):
-            self._rows = self._rows[: len(rows)]
-            self._Ab = self._Ab[: len(rows)]
-            self._rAb = self._rAb[: len(rows)]
+            hit = (Ab, rAb)
+            self._row_cache[key] = hit
+        return hit
 
     def offline(self, basis: jnp.ndarray) -> OnlineResidual:
-        self._extend_cache(basis)
-        n = len(self._rows)
+        rows = np.asarray(basis, dtype=np.float64)
+        n = len(rows)
         Qa, Qf = len(self.op_components), len(self.rhs_components)
         if n == 0:
             G_fa = jnp.zeros((Qf, Qa, 0))
             G_aa = jnp.zeros((Qa, 0, Qa, 0))
         else:
-            Ab = np.stack(self._Ab, axis=1)    # [Qa, n, N]
-            rAb = np.stack(self._rAb, axis=1)  # [Qa, n, N]
+            data = [self._row_data(r) for r in rows]
+            Ab = np.stack([d[0] for d in data], axis=1)    # [Qa, n, N]
+            rAb = np.stack([d[1] for d in data], axis=1)  # [Qa, n, N]
             G_fa = jnp.asarray(np.einsum("pN,qjN->pqj", self._f, rAb))
             G_aa = jnp.asarray(np.einsum("qiN,pjN->qipj", Ab, rAb))
             # symmetrize (P^{-1} is symmetric; splu round-off breaks it mildly)
