@@ -69,12 +69,15 @@ class CGDiscretization(StationaryDiscretization):
         # nodal structure: vertices (order 1) or vertices + edge midpoints
         # (order 2); the dirichlet mask covers all boundary nodal dofs
         if order == 2:
-            dir_vert = np.concatenate(
-                [boundary_info.dirichlet_vertices, boundary_info.dirichlet_faces]
-            )
-            nodal_points = jnp.asarray(
-                np.concatenate([grid.vertices, grid.face_centroids], axis=0)
-            )
+            parts_mask = [boundary_info.dirichlet_vertices,
+                          boundary_info.dirichlet_faces]
+            parts_pts = [grid.vertices, grid.face_centroids]
+            if grid.cell_type == "quad":
+                # Q2 cell-center bubbles: always interior, never Dirichlet
+                parts_mask.append(np.zeros(grid.num_cells, dtype=bool))
+                parts_pts.append(grid.cell_centroids)
+            dir_vert = np.concatenate(parts_mask)
+            nodal_points = jnp.asarray(np.concatenate(parts_pts, axis=0))
         else:
             dir_vert = boundary_info.dirichlet_vertices
             nodal_points = jnp.asarray(grid.vertices)

@@ -34,8 +34,6 @@ class Space:
     def __post_init__(self):
         if self.order not in (1, 2):
             raise NotImplementedError("orders 1 and 2 implemented")
-        if self.order == 2 and self.grid.cell_type != TRIANGLE:
-            raise NotImplementedError("order 2 is triangle-only")
         if self.basis == "p1" and (self.continuous or self.order != 1):
             raise ValueError("monomial p1 basis is order-1 DG-only")
 
@@ -45,14 +43,19 @@ class Space:
         if self.basis == "p1":
             return 3
         if self.order == 2:
-            return 6  # P2 triangle: 3 vertices + 3 edge midpoints
+            if self.grid.cell_type == TRIANGLE:
+                return 6  # P2 triangle: 3 vertices + 3 edge midpoints
+            return 9  # Q2 quad: 4 vertices + 4 edge midpoints + center
         return self.grid.vertices_per_cell
 
     @property
     def num_dofs(self) -> int:
         if self.continuous:
             if self.order == 2:
-                return self.grid.num_vertices + self.grid.num_faces
+                n = self.grid.num_vertices + self.grid.num_faces
+                if self.grid.cell_type == QUAD:
+                    n += self.grid.num_cells  # Q2 cell-center bubbles
+                return n
             return self.grid.num_vertices
         return self.grid.num_cells * self.shape_count
 
@@ -61,13 +64,17 @@ class Space:
         """[NC, nd] global DoF indices.
 
         P2 local node order: (v0, v1, v2, e01, e12, e20) — edge nodes follow
-        the local face numbering (f0=(v0,v1), f1=(v1,v2), f2=(v2,v0))."""
+        the local face numbering (f0=(v0,v1), f1=(v1,v2), f2=(v2,v0)).
+        Q2 adds the cell-center node last: (v0..v3, e0..e3, c)."""
         if self.continuous:
             if self.order == 2:
                 edge = self.grid.num_vertices + self.grid.cell_faces.astype(np.int64)
-                return np.concatenate(
-                    [self.grid.cells.astype(np.int64), edge], axis=1
-                ).astype(np.int32)
+                parts = [self.grid.cells.astype(np.int64), edge]
+                if self.grid.cell_type == QUAD:
+                    center = (self.grid.num_vertices + self.grid.num_faces
+                              + np.arange(self.grid.num_cells, dtype=np.int64))
+                    parts.append(center[:, None])
+                return np.concatenate(parts, axis=1).astype(np.int32)
             return self.grid.cells.astype(np.int32)
         nd = self.shape_count
         return (
@@ -83,8 +90,11 @@ class Space:
             raise NotImplementedError("monomial basis has no nodal points")
         if self.order == 1:
             return v
-        mid = 0.5 * (v + np.roll(v, -1, axis=1))  # e01, e12, e20
-        return np.concatenate([v, mid], axis=1)
+        mid = 0.5 * (v + np.roll(v, -1, axis=1))  # face midpoints
+        parts = [v, mid]
+        if self.grid.cell_type == QUAD:
+            parts.append(v.mean(axis=1, keepdims=True))  # center node
+        return np.concatenate(parts, axis=1)
 
     # -- batched shape evaluation (jnp) ------------------------------------
     # cellverts: [..., nvc, 2]; x: [..., k, 2] physical points inside the cell
@@ -97,6 +107,8 @@ class Space:
             if self.order == 2:
                 return _tri_p2_values(lam)
             return lam
+        if self.order == 2:
+            return _quad_q2_values(cellverts, x)
         return _quad_shape_values(cellverts, x)
 
     def shape_gradients(self, cellverts: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
@@ -111,6 +123,8 @@ class Space:
             return jnp.broadcast_to(
                 g[..., None, :, :], x.shape[:-1] + g.shape[-2:]
             )
+        if self.order == 2:
+            return _quad_q2_grads(cellverts, x)
         return _quad_shape_grads(cellverts, x)
 
     def interpolate_vertex_function(self, values_at_vertices: jnp.ndarray) -> jnp.ndarray:
@@ -242,6 +256,57 @@ def _quad_shape_grads(cellverts, x):
     xi, eta = t[..., 0], t[..., 1]
     dxi = jnp.stack([-(1 - eta), (1 - eta), eta, -eta], axis=-1)
     deta = jnp.stack([-(1 - xi), -xi, xi, (1 - xi)], axis=-1)
+    gx = dxi / ext[..., None, 0:1]
+    gy = deta / ext[..., None, 1:2]
+    return jnp.stack([gx, gy], axis=-1)
+
+
+def _q2_1d(t):
+    """1D quadratic Lagrange basis at nodes {0, 1/2, 1}: (L_left, L_mid,
+    L_right) and derivatives."""
+    A = (2 * t - 1) * (t - 1)
+    B = 4 * t * (1 - t)
+    C = t * (2 * t - 1)
+    dA = 4 * t - 3
+    dB = 4 - 8 * t
+    dC = 4 * t - 1
+    return (A, B, C), (dA, dB, dC)
+
+
+def _quad_q2_values(cellverts, x):
+    """Biquadratic Q2 basis on axis-aligned rectangles, node order
+    (v00, v10, v11, v01, e_bottom, e_right, e_top, e_left, center) — edge
+    nodes follow the local face numbering f0=(v0,v1).. f3=(v3,v0).
+    [..., k, 9]."""
+    lo, ext = _quad_rect_params(cellverts)
+    t = (x - lo[..., None, :]) / ext[..., None, :]
+    (Ax, Bx, Cx), _ = _q2_1d(t[..., 0])
+    (Ay, By, Cy), _ = _q2_1d(t[..., 1])
+    return jnp.stack(
+        [Ax * Ay, Cx * Ay, Cx * Cy, Ax * Cy,
+         Bx * Ay, Cx * By, Bx * Cy, Ax * By,
+         Bx * By],
+        axis=-1,
+    )
+
+
+def _quad_q2_grads(cellverts, x):
+    lo, ext = _quad_rect_params(cellverts)
+    t = (x - lo[..., None, :]) / ext[..., None, :]
+    (Ax, Bx, Cx), (dAx, dBx, dCx) = _q2_1d(t[..., 0])
+    (Ay, By, Cy), (dAy, dBy, dCy) = _q2_1d(t[..., 1])
+    dxi = jnp.stack(
+        [dAx * Ay, dCx * Ay, dCx * Cy, dAx * Cy,
+         dBx * Ay, dCx * By, dBx * Cy, dAx * By,
+         dBx * By],
+        axis=-1,
+    )
+    deta = jnp.stack(
+        [Ax * dAy, Cx * dAy, Cx * dCy, Ax * dCy,
+         Bx * dAy, Cx * dBy, Bx * dCy, Ax * dBy,
+         Bx * dBy],
+        axis=-1,
+    )
     gx = dxi / ext[..., None, 0:1]
     gy = deta / ext[..., None, 1:2]
     return jnp.stack([gx, gy], axis=-1)

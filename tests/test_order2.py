@@ -55,6 +55,54 @@ def test_p2_esv2007_eoc(disc_cls):
     assert l2[0] < 2e-2
 
 
+def test_q2_space_structure():
+    g = rectangle_grid((0, 0), (1, 1), (2, 2), "quad")
+    s = cg_space(g, 2)
+    assert s.shape_count == 9
+    assert s.num_dofs == g.num_vertices + g.num_faces + g.num_cells
+    d = dg_space(g, 2)
+    assert d.num_dofs == g.num_cells * 9
+    # partition of unity + nodal property at the 9 nodal points
+    import jax.numpy as jnp
+
+    pts = jnp.asarray(s.nodal_points)
+    vals = s.shape_values(jnp.asarray(g.cell_vertices), pts)  # [NC, 9, 9]
+    np.testing.assert_allclose(np.asarray(vals.sum(-1)), 1.0, atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(vals), np.broadcast_to(np.eye(9), vals.shape), atol=1e-12
+    )
+    # CG dof map is conforming: shared faces share edge dofs
+    cd = s.cell_dofs
+    for f in range(g.num_faces):
+        cells = [c for c in range(g.num_cells) if f in g.cell_faces[c]]
+        dofs = {int(cd[c][4 + list(g.cell_faces[c]).index(f)]) for c in cells}
+        assert len(dofs) == 1
+
+
+@pytest.mark.parametrize("disc_cls", [CGDiscretization, SWIPDGDiscretization])
+def test_q2_esv2007_eoc(disc_cls):
+    """Q2 on quads (reference instantiates arbitrary polOrder via the
+    cg.hh:95 template; completes order-2 across both cell types)."""
+    problem, exact = ESV2007Problem(), Testcase1ExactSolution()
+    errors = []
+    grid = rectangle_grid((-1, -1), (1, 1), (4, 4), "quad")
+    for _ in range(3):
+        d = disc_cls(grid, ALL_DIRICHLET, problem, order=2)
+        if disc_cls is CGDiscretization:
+            u = d.solve_with_dirichlet_shift(options={"type": "direct"})
+        else:
+            u = d.solve(options={"type": "direct"})
+        errors.append(error_norms(d.space, u, exact))
+        grid, _ = refine(grid)
+    l2 = [e["L2"] for e in errors]
+    h1 = [e["H1_semi"] for e in errors]
+    eoc_l2 = [np.log2(l2[i] / l2[i + 1]) for i in range(2)]
+    eoc_h1 = [np.log2(h1[i] / h1[i + 1]) for i in range(2)]
+    assert all(r > 2.8 for r in eoc_l2), (l2, eoc_l2)
+    assert all(r > 1.9 for r in eoc_h1), (h1, eoc_h1)
+    assert l2[0] < 2e-2
+
+
 @pytest.mark.slow
 def test_p2_estimators_optimal_rates():
     """Beyond the reference (polOrder-1/RT0-only estimators): P2 SWIPDG with
