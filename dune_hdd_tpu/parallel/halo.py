@@ -34,7 +34,7 @@ from jax.sharding import PartitionSpec as P
 
 from ..affine import AffineDecomposition
 
-__all__ = ["HaloShardedSystem", "halo_exchange_spec"]
+__all__ = ["HaloShardedSystem", "halo_exchange_spec", "halo_parameter_sweep"]
 
 
 class _HaloPlan:
@@ -220,8 +220,77 @@ class HaloShardedSystem:
         th_op = self.thetas(self.op_coefficients, mu)
         th_rhs = self.thetas(self.rhs_coefficients, mu)
         u = _halo_solve_jit(self, th_op, th_rhs, float(tol), int(maxiter))
-        flat = np.asarray(u).reshape(-1)
-        return jnp.asarray(flat[self._slot_of_row])
+        # device-side unpermute (static gather) — no host round-trip
+        return u.reshape(-1)[self._slot_of_row_j]
+
+    @property
+    def _slot_of_row_j(self):
+        j = getattr(self, "_slot_of_row_dev", None)
+        if j is None:
+            j = jnp.asarray(self._slot_of_row)
+            self._slot_of_row_dev = j
+        return j
+
+
+def _halo_cg(matvec_fn, vals, cols, b, sends, axis, tol, maxiter,
+             sync_axes=()):
+    """Jacobi-preconditioned CG on the halo layout (identical recurrence to
+    sharded_cg, so solutions bit-match the all_gather path).
+
+    ``sync_axes``: extra mesh axes whose shards run this CG concurrently on
+    *different* systems (e.g. the "mu" axis of a parameter sweep).  The
+    ppermute inside the matvec lowers to ONE collective spanning every
+    device of the mesh, so all shards MUST execute the same number of loop
+    iterations — otherwise the early-converged shards stop participating
+    and the collective deadlocks (observed as an XLA rendezvous timeout on
+    the 8-device CPU mesh).  The loop condition is therefore pmax-reduced
+    over ``sync_axes`` (converged shards keep iterating with 0/0-guarded
+    no-op updates until the slowest shard finishes)."""
+
+    def matvec(x):
+        return matvec_fn(vals, cols, x, sends)
+
+    def dot(a, c):
+        return jax.lax.psum(jnp.sum(a * c), axis)
+
+    # local diagonal (own rows reference themselves at local position i)
+    L = vals.shape[0]
+    on_diag = cols == jnp.arange(L)[:, None]
+    diag = jnp.sum(jnp.where(on_diag, vals, 0.0), axis=1)
+    inv_diag = jnp.where(diag != 0, 1.0 / diag, 1.0)
+
+    x = jnp.zeros_like(b)
+    r = b
+    z = inv_diag * r
+    p = z
+    rz = dot(r, z)
+    bnorm = jnp.sqrt(dot(b, b))
+    atol2 = (tol * jnp.maximum(bnorm, 1e-30)) ** 2
+
+    def cond(state):
+        x, r, z, p, rz, k = state
+        unconverged = (dot(r, r) > atol2)
+        for ax in sync_axes:
+            unconverged = jax.lax.pmax(unconverged.astype(jnp.int32), ax) > 0
+        return unconverged & (k < maxiter)
+
+    def step(state):
+        x, r, z, p, rz, k = state
+        ap = matvec(p)
+        pap = dot(p, ap)
+        # 0/0 guards: converged shards keep looping (uniform trip count for
+        # the mesh-wide collective) with alpha = beta = 0 no-op updates
+        alpha = jnp.where(pap != 0, rz / jnp.where(pap != 0, pap, 1.0), 0.0)
+        x = x + alpha * p
+        r = r - alpha * ap
+        z = inv_diag * r
+        rz_new = dot(r, z)
+        beta = jnp.where(rz != 0, rz_new / jnp.where(rz != 0, rz, 1.0), 0.0)
+        p = z + beta * p
+        return x, r, z, p, rz_new, k + 1
+
+    x, *_ = jax.lax.while_loop(cond, step, (x, r, z, p, rz, 0))
+    return x
 
 
 @partial(jax.jit, static_argnums=(0, 3, 4))
@@ -235,43 +304,7 @@ def _halo_solve_jit(system: HaloShardedSystem, th_op, th_rhs, tol, maxiter):
         b = jnp.einsum("q,qn->n", th_rhs, rhs_l[:, 0])
         cols = cols_ext_l[0]
         sends = [s[0] for s in send_locals]
-
-        def matvec(x):
-            return matvec_fn(vals, cols, x, sends)
-
-        def dot(a, c):
-            return jax.lax.psum(jnp.sum(a * c), axis)
-
-        # local diagonal (own rows reference themselves at local position i)
-        L = vals.shape[0]
-        on_diag = cols == jnp.arange(L)[:, None]
-        diag = jnp.sum(jnp.where(on_diag, vals, 0.0), axis=1)
-        inv_diag = jnp.where(diag != 0, 1.0 / diag, 1.0)
-
-        x = jnp.zeros_like(b)
-        r = b
-        z = inv_diag * r
-        p = z
-        rz = dot(r, z)
-        bnorm = jnp.sqrt(dot(b, b))
-        atol2 = (tol * jnp.maximum(bnorm, 1e-30)) ** 2
-
-        def cond(state):
-            x, r, z, p, rz, k = state
-            return (dot(r, r) > atol2) & (k < maxiter)
-
-        def step(state):
-            x, r, z, p, rz, k = state
-            ap = matvec(p)
-            alpha = rz / dot(p, ap)
-            x = x + alpha * p
-            r = r - alpha * ap
-            z = inv_diag * r
-            rz_new = dot(r, z)
-            p = z + (rz_new / rz) * p
-            return x, r, z, p, rz_new, k + 1
-
-        x, *_ = jax.lax.while_loop(cond, step, (x, r, z, p, rz, 0))
+        x = _halo_cg(matvec_fn, vals, cols, b, sends, axis, tol, maxiter)
         return x[None]
 
     in_specs = (
@@ -282,3 +315,53 @@ def _halo_solve_jit(system: HaloShardedSystem, th_op, th_rhs, tol, maxiter):
     return jax.shard_map(
         body, mesh=mesh, in_specs=in_specs, out_specs=P("domain", None),
     )(system.ell_vals, system.cols_ext, system.rhs_stack, *system.send_idx)
+
+
+def halo_parameter_sweep(system: HaloShardedSystem, thetas_op: jnp.ndarray,
+                         thetas_rhs: jnp.ndarray, tol: float = 1e-6,
+                         maxiter: int = 1000) -> jnp.ndarray:
+    """DP x DD: solve a batch of parameters with the batch sharded over the
+    "mu" mesh axis and each solve riding the O(halo) ppermute exchange over
+    "domain" (SURVEY §2.8 DP+DD; the halo variant of
+    sharded.sharded_parameter_sweep).
+
+    thetas_op [B, Q_op], thetas_rhs [B, Q_rhs] -> [B, num_dofs] solutions in
+    global row order, on device.
+    """
+    mesh = system.mesh
+    if "mu" not in mesh.shape:
+        raise ValueError("mesh needs a 'mu' axis for the parameter sweep")
+    matvec_fn = system._matvec_body()
+    axis = "domain"
+    tol = float(tol)
+    maxiter = int(maxiter)
+
+    def body(th_op_l, th_rhs_l, ell_vals_l, cols_ext_l, rhs_l, *send_locals):
+        vals_q = ell_vals_l[:, 0]
+        cols = cols_ext_l[0]
+        sends = [s[0] for s in send_locals]
+
+        def one(th_op, th_rhs):
+            vals = jnp.einsum("q,qnk->nk", th_op, vals_q)
+            b = jnp.einsum("q,qn->n", th_rhs, rhs_l[:, 0])
+            return _halo_cg(matvec_fn, vals, cols, b, sends, axis, tol,
+                            maxiter, sync_axes=("mu",))
+
+        return jax.vmap(one)(th_op_l, th_rhs_l)[:, None]
+
+    in_specs = (
+        P("mu", None),
+        P("mu", None),
+        P(None, "domain", None, None),
+        P("domain", None, None),
+        P(None, "domain", None),
+    ) + tuple(P("domain", None) for _ in system.send_idx)
+    fn = jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=in_specs,
+        out_specs=P("mu", "domain", None),
+    ))
+    u = fn(thetas_op.astype(system.dtype), thetas_rhs.astype(system.dtype),
+           system.ell_vals, system.cols_ext, system.rhs_stack,
+           *system.send_idx)
+    B = thetas_op.shape[0]
+    return u.reshape(B, -1)[:, system._slot_of_row_j]

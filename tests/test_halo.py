@@ -90,6 +90,71 @@ def test_block_swipdg_as_sharded_subdomain_aligned(mesh):
     np.testing.assert_allclose(np.asarray(u), np.asarray(u_ref), atol=1e-8)
 
 
+def test_halo_parameter_sweep_mu_x_domain(disc):
+    """(2 mu x 4 domain) mesh: the DP x DD composition solves a parameter
+    batch through the ppermute halo path; results match per-mu unsharded
+    solves and the HLO stays all_gather-free (VERDICT r2 item 4)."""
+    from dune_hdd_tpu.parallel.halo import halo_parameter_sweep
+
+    mesh24 = make_device_mesh(mu_axis=2, domain_axis=4)
+    system = HaloShardedSystem(disc.get_operator(), disc.get_rhs(), mesh24,
+                               dtype=jnp.float64)
+    mus = [
+        {"diffusion_factor": jnp.array([0.1, 1.0, 0.5, 2.0])},
+        {"diffusion_factor": jnp.array([1.0, 0.2, 0.9, 0.4])},
+        {"diffusion_factor": jnp.array([0.7, 0.7, 0.7, 0.7])},
+        {"diffusion_factor": jnp.array([2.0, 0.1, 1.0, 0.3])},
+    ]
+    th_op = jnp.stack([system.thetas(system.op_coefficients, m) for m in mus])
+    th_rhs = jnp.stack([system.thetas(system.rhs_coefficients, m) for m in mus])
+    U = halo_parameter_sweep(system, th_op, th_rhs, tol=1e-12, maxiter=5000)
+    assert U.shape == (4, disc.space.num_dofs)
+    for i, m in enumerate(mus):
+        u_ref = disc.solve(m, options={"type": "direct"})
+        np.testing.assert_allclose(np.asarray(U[i]), np.asarray(u_ref),
+                                   atol=1e-8)
+
+
+def test_halo_sweep_hlo_ppermute_only(disc):
+    from dune_hdd_tpu.parallel.halo import _halo_cg, halo_parameter_sweep
+
+    mesh24 = make_device_mesh(mu_axis=2, domain_axis=4)
+    system = HaloShardedSystem(disc.get_operator(), disc.get_rhs(), mesh24,
+                               dtype=jnp.float64)
+    # lower the same computation halo_parameter_sweep jits and inspect HLO
+    import jax as _jax
+
+    th_op = jnp.stack([system.thetas(system.op_coefficients, MU)] * 4)
+    th_rhs = jnp.stack([system.thetas(system.rhs_coefficients, MU)] * 4)
+    matvec_fn = system._matvec_body()
+
+    def body(th_op_l, th_rhs_l, ell_vals_l, cols_ext_l, rhs_l, *send_locals):
+        vals_q = ell_vals_l[:, 0]
+        cols = cols_ext_l[0]
+        sends = [s[0] for s in send_locals]
+
+        def one(th_op, th_rhs):
+            vals = jnp.einsum("q,qnk->nk", th_op, vals_q)
+            b = jnp.einsum("q,qn->n", th_rhs, rhs_l[:, 0])
+            return _halo_cg(matvec_fn, vals, cols, b, sends, "domain",
+                            1e-12, 5000, sync_axes=("mu",))
+
+        return _jax.vmap(one)(th_op_l, th_rhs_l)[:, None]
+
+    from jax.sharding import PartitionSpec as P
+
+    in_specs = (
+        P("mu", None), P("mu", None), P(None, "domain", None, None),
+        P("domain", None, None), P(None, "domain", None),
+    ) + tuple(P("domain", None) for _ in system.send_idx)
+    fn = _jax.jit(_jax.shard_map(
+        body, mesh=mesh24, in_specs=in_specs, out_specs=P("mu", "domain", None)))
+    hlo = fn.lower(th_op, th_rhs, system.ell_vals, system.cols_ext,
+                   system.rhs_stack, *system.send_idx).compile().as_text()
+    assert "collective-permute" in hlo
+    assert "all-gather" not in hlo
+
+
 def test_subdomain_row_blocks_skewed_sizes():
     """Skewed subdomain DoF sizes must not push split bounds past S-1
     (advisor round-2 repro: sizes [1]*7 + [1000] with 8 devices produced
