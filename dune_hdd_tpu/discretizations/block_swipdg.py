@@ -354,7 +354,8 @@ class BlockSWIPDGDiscretization(StationaryDiscretization):
             self._oversampled[key] = disc
         return self._oversampled[key]
 
-    def as_sharded(self, mesh=None, dtype=None, halo: bool = True):
+    def as_sharded(self, mesh=None, dtype=None, halo: bool = True,
+                   assemble_on_device: bool = False):
         """Lay the affine system out on a device mesh: the subdomain axis
         becomes the "domain" mesh axis — the TPU execution of the reference's
         (sequential) domain decomposition.
@@ -375,10 +376,21 @@ class BlockSWIPDGDiscretization(StationaryDiscretization):
         if not halo:
             return ShardedAffineSystem(
                 self.get_operator(), self.get_rhs(), mesh, dtype=dtype)
+        row_blocks = self.subdomain_row_blocks(mesh.shape["domain"])
+        ell_override = None
+        if assemble_on_device:
+            # per-device value sweep inside shard_map (the TPU image of the
+            # reference's per-subdomain assembly walk, block-swipdg.hh:
+            # 262-551) — values never materialize on the host
+            from ..parallel.sharded_assembly import sharded_operator_values
+
+            ell_override = sharded_operator_values(
+                self._global, mesh, row_blocks, dtype=dtype)
         return HaloShardedSystem(
             self.get_operator(), self.get_rhs(), mesh,
-            row_blocks=self.subdomain_row_blocks(mesh.shape["domain"]),
+            row_blocks=row_blocks,
             dtype=dtype,
+            ell_vals_override=ell_override,
         )
 
     def subdomain_row_blocks(self, n_devices: int):

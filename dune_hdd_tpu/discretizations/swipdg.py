@@ -173,40 +173,55 @@ class SWIPDGDiscretization(StationaryDiscretization):
         # part (created if the decomposition has none).
         operator = AffineDecomposition()
         pairs = diffusion_pairs(problem)
+        # kernel configs per operator component, recorded in registration
+        # order with the affine part LAST (= with_expanded_affine_part order)
+        # so the sharded per-device assembly (parallel/sharded_assembly.py)
+        # can re-run exactly the same kernels
+        comp_kernels = []
+        affine_kernel = None
         with timed("swipdg.assemble_operator"):
             for (lam_fn, kap_fn), coef in _parts(pairs):
                 vol = elliptic_cell_matrices(space, lam_fn, kap_fn)
                 if scheme == "reference":
-                    ib, bb = swipdg_face_blocks(
-                        space, lam_fn, kap_fn, interior, dirichlet,
+                    face_kw = dict(
                         sigma_i=self.sigma_inner, sigma_b=self.sigma_boundary,
                         beta=self.beta,
                     )
                 else:
-                    ib, bb = swipdg_face_blocks(
-                        space, lam_fn, kap_fn, interior, dirichlet,
+                    face_kw = dict(
                         weight_lam_fn=wlam, weight_kap_fn=wkap,
-                        sigma_i=self.sigma_inner, sigma_b=self.sigma_boundary, beta=self.beta,
-                        flux_only=(coef is not None),
+                        sigma_i=self.sigma_inner, sigma_b=self.sigma_boundary,
+                        beta=self.beta, flux_only=(coef is not None),
                     )
+                ib, bb = swipdg_face_blocks(
+                    space, lam_fn, kap_fn, interior, dirichlet, **face_kw)
                 mat = assemble_swipdg_matrix(space, vol, ib, bb, pattern)
+                kernel = dict(lam_fn=lam_fn, kap_fn=kap_fn, face_kw=face_kw,
+                              volume=True)
                 if coef is None:
                     operator.register_affine_part(mat)
+                    affine_kernel = kernel
                 else:
                     operator.register_component(mat, coef)
+                    comp_kernels.append(kernel)
             if scheme == "penalty_mu" and operator.affine_part is None:
                 # penalty-only affine part (zero volume terms)
                 nd_ = space.shape_count
-                ibp, bbp = swipdg_face_blocks(
-                    space, wlam, wkap, interior, dirichlet,
+                face_kw = dict(
                     sigma_i=self.sigma_inner, sigma_b=self.sigma_boundary,
                     beta=self.beta, penalty_only=True,
                 )
+                ibp, bbp = swipdg_face_blocks(
+                    space, wlam, wkap, interior, dirichlet, **face_kw)
                 operator.register_affine_part(
                     assemble_swipdg_matrix(
                         space, jnp.zeros((grid.num_cells, nd_, nd_)), ibp, bbp, pattern
                     )
                 )
+                affine_kernel = dict(lam_fn=wlam, kap_fn=wkap, face_kw=face_kw,
+                                     volume=False)
+        self._operator_kernels = comp_kernels + (
+            [affine_kernel] if affine_kernel is not None else [])
 
         # -- rhs ------------------------------------------------------------
         rhs = AffineDecomposition()

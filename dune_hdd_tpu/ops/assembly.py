@@ -159,6 +159,12 @@ def elliptic_cell_matrices(
     qorder = order if order is not None else diffusion_factor.order + diffusion_tensor.order + 2 * (space.order - 1) + 2
     qp, qw = cell_quadrature(grid, qorder)
     grads = cell_shape_gradients(space, qorder)  # [NC, k, nd, 2]
+    return elliptic_cells_core(qp, qw, grads, diffusion_factor, diffusion_tensor)
+
+
+def elliptic_cells_core(qp, qw, grads, diffusion_factor, diffusion_tensor):
+    """Array-form elliptic volume kernel (pure jnp on the given quadrature /
+    gradient arrays — usable inside shard_map for per-device assembly)."""
     lam = diffusion_factor(qp)  # [NC, k]
     kap = diffusion_tensor(qp)  # [NC, k, 2, 2]
     flux = jnp.einsum("ckab,ckjb->ckja", kap, grads)

@@ -118,12 +118,13 @@ def _side_shapes(space: Space, cells: np.ndarray, qp: jnp.ndarray):
     return out
 
 
-def _side_quantities(space: Space, cells: np.ndarray, qp: jnp.ndarray,
-                     lam_fn: Function, kap_fn: Function,
-                     wlam_fn: Function, wkap_fn: Function, n: jnp.ndarray):
-    """Per-side arrays: shape values [F,k,nd], normal flux of basis
-    (tau grad phi).n [F,k,nd], delta = n.(tau_w n) [F,k]."""
-    vals, grads, cent = _side_shapes(space, cells, qp)
+def _side_quantities_arrays(vals, grads, cent, qp, n,
+                            lam_fn: Function, kap_fn: Function,
+                            wlam_fn: Function, wkap_fn: Function):
+    """Array-form side quantities: shape values [F,k,nd], normal flux of the
+    basis (tau grad phi).n [F,k,nd], delta = n.(tau_w n) [F,k].  Pure jnp on
+    the given geometry arrays — usable inside shard_map for per-device
+    assembly (parallel/sharded_assembly.py)."""
     lam = _side_eval(lam_fn, qp, cent)
     kap = _side_eval(kap_fn, qp, cent)
     tau_grad = lam[..., None, None] * jnp.einsum("fkab,fkib->fkia", kap, grads)
@@ -133,6 +134,16 @@ def _side_quantities(space: Space, cells: np.ndarray, qp: jnp.ndarray,
     tau_w = wlam[..., None, None] * wkap
     delta = jnp.einsum("fa,fkab,fb->fk", n, tau_w, n)
     return vals, flux, delta
+
+
+def _side_quantities(space: Space, cells: np.ndarray, qp: jnp.ndarray,
+                     lam_fn: Function, kap_fn: Function,
+                     wlam_fn: Function, wkap_fn: Function, n: jnp.ndarray):
+    """Per-side arrays: shape values [F,k,nd], normal flux of basis
+    (tau grad phi).n [F,k,nd], delta = n.(tau_w n) [F,k]."""
+    vals, grads, cent = _side_shapes(space, cells, qp)
+    return _side_quantities_arrays(vals, grads, cent, qp, n,
+                                   lam_fn, kap_fn, wlam_fn, wkap_fn)
 
 
 def swipdg_face_blocks(
@@ -175,44 +186,12 @@ def swipdg_face_blocks(
     if len(fi):
         qp, qw, n, h = _face_geometry(grid, fi, qorder)
         cin, cout = grid.face_cells[fi, 0], grid.face_cells[fi, 1]
-        vals_m, flux_m, delta_m = _side_quantities(space, cin, qp, lam_fn, kap_fn, wlam, wkap, n)
-        vals_p, flux_p, delta_p = _side_quantities(space, cout, qp, lam_fn, kap_fn, wlam, wkap, n)
-        # Guard delta_m + delta_p == 0 (exact zeros happen when a component
-        # diffusion vanishes on both sides of a face, e.g. checkerboard /
-        # channel indicator components under the reference's per-component
-        # self-weighted scheme, swipdg.hh:222-249): the limit contribution is
-        # zero — gamma -> 0 and the weighted flux vanishes with the component.
-        denom = delta_m + delta_p
-        zero = denom == 0
-        safe = jnp.where(zero, 1.0, denom)
-        w_m = jnp.where(zero, 0.5, delta_p / safe)  # weight of the inside flux
-        w_p = jnp.where(zero, 0.5, delta_m / safe)
-        gamma = jnp.where(zero, 0.0, delta_m * delta_p / safe)
-        pen = sigma_i * gamma / (h[:, None] ** beta)  # [F, k]
-
-        vals = (vals_m, vals_p)
-        wflux = (w_m[..., None] * flux_m, w_p[..., None] * flux_p)
-        sign = (1.0, -1.0)
-        blocks = []
-        for s in range(2):  # test side
-            row = []
-            for t in range(2):  # ansatz side
-                if flux_only:
-                    b = jnp.zeros((len(fi), nd, nd))
-                else:
-                    b = jnp.einsum(
-                        "fk,fki,fkj->fij", qw * sign[s] * sign[t] * pen, vals[s], vals[t]
-                    )
-                if not penalty_only:
-                    b = b - flux_scale * jnp.einsum(
-                        "fk,fki,fkj->fij", qw * sign[s], vals[s], wflux[t]
-                    )
-                    b = b - flux_scale * jnp.einsum(
-                        "fk,fki,fkj->fij", qw * sign[t], wflux[s], vals[t]
-                    )
-                row.append(b)
-            blocks.append(jnp.stack(row, axis=1))
-        int_blocks = jnp.stack(blocks, axis=1)  # [F, s, t, nd, nd]
+        side_m = _side_quantities(space, cin, qp, lam_fn, kap_fn, wlam, wkap, n)
+        side_p = _side_quantities(space, cout, qp, lam_fn, kap_fn, wlam, wkap, n)
+        int_blocks = interior_blocks_core(
+            qw, h, side_m, side_p, sigma_i, beta, nd,
+            penalty_only=penalty_only, flux_only=flux_only,
+            flux_scale=flux_scale)
     else:
         int_blocks = jnp.zeros((0, 2, 2, nd, nd))
 
@@ -221,20 +200,78 @@ def swipdg_face_blocks(
     if len(fb):
         qp, qw, n, h = _face_geometry(grid, fb, qorder)
         cin = grid.face_cells[fb, 0]
-        vals_m, flux_m, delta_m = _side_quantities(space, cin, qp, lam_fn, kap_fn, wlam, wkap, n)
-        pen = sigma_b * delta_m / (h[:, None] ** beta)
-        if flux_only:
-            b = jnp.zeros((len(fb), nd, nd))
-        else:
-            b = jnp.einsum("fk,fki,fkj->fij", qw * pen, vals_m, vals_m)
-        if not penalty_only:
-            b = b - flux_scale * jnp.einsum("fk,fki,fkj->fij", qw, vals_m, flux_m)
-            b = b - flux_scale * jnp.einsum("fk,fki,fkj->fij", qw, flux_m, vals_m)
-        bnd_blocks = b
+        side_m = _side_quantities(space, cin, qp, lam_fn, kap_fn, wlam, wkap, n)
+        bnd_blocks = boundary_blocks_core(
+            qw, h, side_m, sigma_b, beta, nd,
+            penalty_only=penalty_only, flux_only=flux_only,
+            flux_scale=flux_scale)
     else:
         bnd_blocks = jnp.zeros((0, nd, nd))
 
     return int_blocks, bnd_blocks
+
+
+def interior_blocks_core(qw, h, side_m, side_p, sigma_i, beta, nd,
+                         penalty_only=False, flux_only=False,
+                         flux_scale=1.0) -> jnp.ndarray:
+    """[F,2,2,nd,nd] interior SWIPDG blocks from precomputed side quantities
+    (pure jnp; shared by the host path and per-device sharded assembly)."""
+    vals_m, flux_m, delta_m = side_m
+    vals_p, flux_p, delta_p = side_p
+    F = qw.shape[0]
+    # Guard delta_m + delta_p == 0 (exact zeros happen when a component
+    # diffusion vanishes on both sides of a face, e.g. checkerboard /
+    # channel indicator components under the reference's per-component
+    # self-weighted scheme, swipdg.hh:222-249): the limit contribution is
+    # zero — gamma -> 0 and the weighted flux vanishes with the component.
+    denom = delta_m + delta_p
+    zero = denom == 0
+    safe = jnp.where(zero, 1.0, denom)
+    w_m = jnp.where(zero, 0.5, delta_p / safe)  # weight of the inside flux
+    w_p = jnp.where(zero, 0.5, delta_m / safe)
+    gamma = jnp.where(zero, 0.0, delta_m * delta_p / safe)
+    pen = sigma_i * gamma / (h[:, None] ** beta)  # [F, k]
+
+    vals = (vals_m, vals_p)
+    wflux = (w_m[..., None] * flux_m, w_p[..., None] * flux_p)
+    sign = (1.0, -1.0)
+    blocks = []
+    for s in range(2):  # test side
+        row = []
+        for t in range(2):  # ansatz side
+            if flux_only:
+                b = jnp.zeros((F, nd, nd))
+            else:
+                b = jnp.einsum(
+                    "fk,fki,fkj->fij", qw * sign[s] * sign[t] * pen, vals[s], vals[t]
+                )
+            if not penalty_only:
+                b = b - flux_scale * jnp.einsum(
+                    "fk,fki,fkj->fij", qw * sign[s], vals[s], wflux[t]
+                )
+                b = b - flux_scale * jnp.einsum(
+                    "fk,fki,fkj->fij", qw * sign[t], wflux[s], vals[t]
+                )
+            row.append(b)
+        blocks.append(jnp.stack(row, axis=1))
+    return jnp.stack(blocks, axis=1)  # [F, s, t, nd, nd]
+
+
+def boundary_blocks_core(qw, h, side_m, sigma_b, beta, nd,
+                         penalty_only=False, flux_only=False,
+                         flux_scale=1.0) -> jnp.ndarray:
+    """[F,nd,nd] Dirichlet boundary SWIPDG blocks from side quantities."""
+    vals_m, flux_m, delta_m = side_m
+    F = qw.shape[0]
+    pen = sigma_b * delta_m / (h[:, None] ** beta)
+    if flux_only:
+        b = jnp.zeros((F, nd, nd))
+    else:
+        b = jnp.einsum("fk,fki,fkj->fij", qw * pen, vals_m, vals_m)
+    if not penalty_only:
+        b = b - flux_scale * jnp.einsum("fk,fki,fkj->fij", qw, vals_m, flux_m)
+        b = b - flux_scale * jnp.einsum("fk,fki,fkj->fij", qw, flux_m, vals_m)
+    return b
 
 
 def swipdg_dirichlet_rhs(

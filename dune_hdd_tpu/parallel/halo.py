@@ -139,7 +139,7 @@ class HaloShardedSystem:
 
     def __init__(self, operator: AffineDecomposition, rhs: AffineDecomposition,
                  mesh: Mesh, row_blocks: Optional[Sequence[np.ndarray]] = None,
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, ell_vals_override=None):
         self.mesh = mesh
         n_dom = mesh.shape["domain"]
         expanded = operator.with_expanded_affine_part()
@@ -167,18 +167,27 @@ class HaloShardedSystem:
 
         K = ell_cols.shape[1]
         Q = len(mats)
-        ell_vals = np.zeros((Q, n_dom, L, K))
         rhs_np = [np.asarray(v) for v in rhs_expanded.components]
         rhs_stack = np.zeros((len(rhs_np), n_dom, L))
         for d, rows in enumerate(row_blocks):
-            for q, m in enumerate(mats):
-                ell_vals[q, d, : len(rows)] = np.asarray(
-                    m.pattern.ell_values(m.values))[rows]
             for q, v in enumerate(rhs_np):
                 rhs_stack[q, d, : len(rows)] = v[rows]
         self.dtype = dtype
         vs = NamedSharding(mesh, P(None, "domain", None, None))
-        self.ell_vals = jax.device_put(jnp.asarray(ell_vals, dtype=dtype), vs)
+        if ell_vals_override is not None:
+            # values assembled per device (parallel/sharded_assembly.py) —
+            # already [Q, D, L, K], sharded; never materialized on the host
+            assert ell_vals_override.shape == (Q, n_dom, L, K), (
+                ell_vals_override.shape, (Q, n_dom, L, K))
+            self.ell_vals = jax.device_put(
+                ell_vals_override.astype(dtype), vs)
+        else:
+            ell_vals = np.zeros((Q, n_dom, L, K))
+            for d, rows in enumerate(row_blocks):
+                for q, m in enumerate(mats):
+                    ell_vals[q, d, : len(rows)] = np.asarray(
+                        m.pattern.ell_values(m.values))[rows]
+            self.ell_vals = jax.device_put(jnp.asarray(ell_vals, dtype=dtype), vs)
         self.cols_ext = jax.device_put(
             jnp.asarray(self.plan.cols_ext),
             NamedSharding(mesh, P("domain", None, None)))
