@@ -26,7 +26,7 @@ def main():
         jax.config.update("jax_enable_x64", True)
         result = run_spe10_bench(
             bisections=bisections, repeats=repeats, tol=1e-6,
-            preconditioner="deflation",
+            preconditioner=os.environ.get("BENCH_PRECONDITIONER", "stencil"),
         )
         metric = "spe10_swipdg_assemble_solve_to_1e-6"
     else:

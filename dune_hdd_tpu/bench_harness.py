@@ -72,6 +72,7 @@ def build_spe10_bench(bisections: int = 4, maxiter: int = 300,
       (validated on CPU; compiles pathologically slowly through the axon
       TPU tunnel).
     """
+    inner_iters = int(os.environ.get("BENCH_INNER", inner_iters))
     # MG levels at every 2nd bisection (one halving per level)
     grids = [
         alu_cube_grid((0.0, 0.0), (5.0, 1.0), (100, 20), refinements=b)
@@ -98,7 +99,7 @@ def build_spe10_bench(bisections: int = 4, maxiter: int = 300,
     interior = np.nonzero(grid.interior_faces)[0]
     dirichlet = np.nonzero(binfo.dirichlet_faces)[0]
 
-    if preconditioner == "deflation":
+    if preconditioner in ("deflation", "stencil"):
         from .grid.structured_order import structured_cell_order
         from .la.deflation import (
             aggregate_map_from_points,
@@ -127,7 +128,7 @@ def build_spe10_bench(bisections: int = 4, maxiter: int = 300,
     asm_jit = jax.jit(assemble)
 
     macro = None
-    if preconditioner == "deflation":
+    if preconditioner in ("deflation", "stencil"):
         raw = os.environ.get("BENCH_MACRO", f"{MODEL1_NX},{MODEL1_NZ}")
         try:
             macro = tuple(int(x) for x in raw.split(","))
@@ -187,7 +188,48 @@ def build_spe10_bench(bisections: int = 4, maxiter: int = 300,
 
     solve_jit = jax.jit(solve_deflation)
 
+    if preconditioner == "stencil":
+        from .la.stencil import (
+            StencilBlockEll,
+            chebyshev_smoother,
+            soa_index_maps,
+            stencil_deflation_preconditioner,
+            stencil_refined_solve,
+        )
+
+        smoother_kind = os.environ.get("BENCH_SMOOTHER", "jacobi")
+        newton_schulz = int(os.environ.get("BENCH_NS", "3"))
+        maps = soa_index_maps(order, 3)
+        KY, KX = order.lattice
+
+        def solve_stencil(A32, b32):
+            # one static gather permutes blocks+rhs into the plane layout;
+            # everything after is rolls/reshape-sums/elementwise
+            S = StencilBlockEll.from_block_ell(A32, order)
+            B = b32[jnp.asarray(maps.to_soa)].reshape(3, 8, KY, KX)
+            sm = None
+            if smoother_kind.startswith("cheb"):
+                sm = chebyshev_smoother(S, degree=int(smoother_kind[4:] or 2))
+            M = stencil_deflation_preconditioner(
+                S, macro, smoother=sm, newton_schulz=newton_schulz)
+            X, res, iters = stencil_refined_solve(
+                S, B, M, tol=tol, inner_iters=inner_iters,
+                unroll=int(os.environ.get("BENCH_UNROLL", "4")))
+            return X.reshape(-1)[jnp.asarray(maps.from_soa)], res
+
+        @jax.jit
+        def fused_stencil(field):
+            # ONE dispatch for assemble + permute + precondition + solve:
+            # each host->device call through the axon tunnel costs ~30 ms
+            # RTT, so the end-to-end bench must be a single program
+            with jax.enable_x64(False), jax.default_matmul_precision("highest"):
+                A_s, b_s, s = assemble(field)
+            u_s, res = solve_stencil(A_s, b_s)
+            return u_s * s.astype(u_s.dtype), res
+
     def assemble_and_solve(field):
+        if preconditioner == "stencil":
+            return fused_stencil(field)
         if preconditioner == "deflation":
             # assembly is pure f32 work (emulated f64 on TPU would cost ~10x
             # the whole solve); only the refinement loop's outer residual
