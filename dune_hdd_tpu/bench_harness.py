@@ -99,7 +99,7 @@ def build_spe10_bench(bisections: int = 4, maxiter: int = 300,
     interior = np.nonzero(grid.interior_faces)[0]
     dirichlet = np.nonzero(binfo.dirichlet_faces)[0]
 
-    if preconditioner in ("deflation", "stencil"):
+    if preconditioner in ("deflation", "stencil", "stencil2"):
         from .grid.structured_order import structured_cell_order
         from .la.deflation import (
             aggregate_map_from_points,
@@ -128,7 +128,7 @@ def build_spe10_bench(bisections: int = 4, maxiter: int = 300,
     asm_jit = jax.jit(assemble)
 
     macro = None
-    if preconditioner in ("deflation", "stencil"):
+    if preconditioner in ("deflation", "stencil", "stencil2"):
         raw = os.environ.get("BENCH_MACRO", f"{MODEL1_NX},{MODEL1_NZ}")
         try:
             macro = tuple(int(x) for x in raw.split(","))
@@ -188,6 +188,57 @@ def build_spe10_bench(bisections: int = 4, maxiter: int = 300,
 
     solve_jit = jax.jit(solve_deflation)
 
+    if preconditioner == "stencil2":
+        # fully structured path: the SWIPDG operator is assembled DIRECTLY
+        # into StencilBlockEll planes (per-family constant tensors x scalar
+        # lattice fields, la/stencil_assembly.py) — no block scatter, no
+        # permute; rhs and diagonal scaling in the plane layout too.  The
+        # runtime input stays the permeability field.
+        from .la.stencil import (
+            chebyshev_smoother,
+            soa_index_maps,
+            stencil_deflation_preconditioner,
+            stencil_refined_solve,
+        )
+        from .la.stencil_assembly import (
+            assemble_structured_spe10,
+            build_structured_assembly,
+            scale_planes,
+            structured_rhs,
+        )
+
+        smoother_kind = os.environ.get("BENCH_SMOOTHER", "jacobi")
+        newton_schulz = int(os.environ.get("BENCH_NS", "3"))
+        maps = soa_index_maps(order, 3)
+        KY, KX = order.lattice
+        splan = build_structured_assembly(grid, order, binfo)
+        # cell-constant permeability in SoA order: macro id per cell (static)
+        cent = grid.cell_centroids
+        ij_cell = np.clip(
+            (cent / np.array([5.0, 1.0]) * np.array([MODEL1_NX, MODEL1_NZ]))
+            .astype(np.int64), 0, np.array([MODEL1_NX - 1, MODEL1_NZ - 1]))
+        ij_soa = ij_cell[np.asarray(order.inv)].reshape(8, KY, KX, 2)
+        ij_soa = jnp.asarray(ij_soa)
+
+        @jax.jit
+        def fused_structured(field):
+            with jax.enable_x64(False), jax.default_matmul_precision("highest"):
+                f32field = field.astype(jnp.float32)
+                cf = f32field[ij_soa[..., 0], ij_soa[..., 1]]
+                S = assemble_structured_spe10(splan, diffusion_factor, cf)
+                B = structured_rhs(splan, force)
+                S, B, s = scale_planes(S, B)
+                sm = None
+                if smoother_kind.startswith("cheb"):
+                    sm = chebyshev_smoother(S, degree=int(smoother_kind[4:] or 2))
+                M = stencil_deflation_preconditioner(
+                    S, macro, smoother=sm, newton_schulz=newton_schulz)
+            X, res, iters = stencil_refined_solve(
+                S, B, M, tol=tol, inner_iters=inner_iters,
+                unroll=int(os.environ.get("BENCH_UNROLL", "4")))
+            u = (X * s.astype(X.dtype)).reshape(-1)[jnp.asarray(maps.from_soa)]
+            return u, res
+
     if preconditioner == "stencil":
         from .la.stencil import (
             StencilBlockEll,
@@ -228,6 +279,8 @@ def build_spe10_bench(bisections: int = 4, maxiter: int = 300,
             return u_s * s.astype(u_s.dtype), res
 
     def assemble_and_solve(field):
+        if preconditioner == "stencil2":
+            return fused_structured(field)
         if preconditioner == "stencil":
             return fused_stencil(field)
         if preconditioner == "deflation":

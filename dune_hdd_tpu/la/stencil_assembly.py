@@ -1,0 +1,344 @@
+"""Direct-to-planes SWIPDG assembly for structured NVB grids.
+
+The general assembly path (ops/assembly + ops/swipdg + la/block_ell) computes
+per-face blocks with tiny nd x nd minor axes and scatters them into the
+block-ELL layout — on TPU the scatter and the lane-padded einsums dominate
+the whole benchmark.  On a structured grid (grid/structured_order.py) every
+cell is congruent within its subclass and every face is congruent within its
+(subclass, geo-slot) family, so the SWIPDG integrals factor into
+
+    per-family CONSTANT nd x nd tensors  x  scalar lattice fields,
+
+and the assembly writes straight into the StencilBlockEll planes
+W[slot, i, j, subclass, KY, KX]: no gather, no scatter, no permute — just
+coefficient evaluations at lattice-shaped point arrays and fused
+elementwise multiply-adds.  Faces are processed once per side (each side
+owns its own test-function rows), which writes every plane entry exactly
+once.
+
+Exactness: uses the same quadrature rules and the same centroid-shifted
+side evaluation as the general path (ops/swipdg._side_eval), so the
+assembled operator matches the general path to floating-point
+reassociation.  The diffusion TENSOR must be a cell-constant scalar field
+(kappa = field(x) * I with field piecewise constant per cell — e.g. the
+SPE10 permeability); the scalar diffusion FACTOR may vary arbitrarily
+within cells (evaluated at quadrature points).
+
+Cites: reference assembly loops swipdg.hh:222-332 (the math), SURVEY §2
+preamble (hot kernels as XLA/Pallas-class code).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..grid.structured import Grid
+from ..ops.quadrature import edge_rule, tri_rule
+from ..ops.swipdg import boundary_sigma, default_beta, inner_sigma
+from .stencil import StencilBlockEll, stencil_plan
+
+__all__ = ["StructuredAssemblyPlan", "build_structured_assembly",
+           "assemble_structured_spe10"]
+
+_SIDE_EPS32 = 1e-3  # cf. ops/swipdg._side_eval (float32 branch)
+
+
+class _FaceFamily(NamedTuple):
+    k_src: int          # subclass of the slot-s neighbour
+    dy: int
+    dx: int
+    qp: np.ndarray      # [kq, KY, KX, 2] face quadrature points
+    qp_m: np.ndarray    # [kq, KY, KX, 2] shifted toward own centroid
+    qp_p: np.ndarray    # [kq, KY, KX, 2] shifted toward neighbour centroid
+    qw: np.ndarray      # [kq] weights incl. face length
+    h: float            # face length
+    vals_m: np.ndarray  # [kq, nd] own basis at qp
+    vals_p: np.ndarray  # [kq, nd] neighbour basis at qp
+    nflux_m: np.ndarray  # [nd] (grad phi_m . n_out)
+    nflux_p: np.ndarray  # [nd] (grad phi_p . n_out)
+    interior: np.ndarray  # [KY, KX] bool: face has a neighbour
+    dirichlet: np.ndarray  # [KY, KX] bool: face is a Dirichlet boundary face
+
+
+class StructuredAssemblyPlan(NamedTuple):
+    families: Tuple[Tuple[_FaceFamily, ...], ...]  # [8][3]
+    vol_qp: np.ndarray    # [kq_v, 8, KY, KX, 2]
+    vol_G: np.ndarray     # [8, kq_v, nd, nd] qw x (grad_i . grad_j)
+    vol_wvals: np.ndarray  # [8, kq_v, nd] qw x basis values
+    plan: tuple           # stencil plan (8 x 3 (k_src, dy, dx))
+    lattice: Tuple[int, int]
+    nd: int
+    sigma_i: float
+    sigma_b: float
+    beta: float
+
+
+def _geo_slots(grid: Grid, order) -> np.ndarray:
+    """geo[new_cell, s] = face id of geo slot s (via order.slot_source)."""
+    inv = np.asarray(order.inv)
+    src = np.asarray(order.slot_source, dtype=np.int64)  # [NC(new), 3]
+    return grid.cell_faces[inv[:, None], src]
+
+
+def build_structured_assembly(grid: Grid, order, binfo,
+                              space_order: int = 1,
+                              qorder_vol: int = 2,
+                              qorder_face: int = 3,
+                              side_eps: float = _SIDE_EPS32) -> StructuredAssemblyPlan:
+    """Host-side (one-off) geometry plan.  ``qorder_*`` and ``side_eps``
+    must match the general path's choices for comparable operators
+    (qorder_vol = lam.order + kap.order + 2(p-1) + 2, qorder_face =
+    2p + coefficient order + 1, side_eps = 1e-3 for f32 / 1e-7 for f64 —
+    cf. ops/assembly.elliptic_cell_matrices, ops/swipdg)."""
+    from ..ops.spaces import dg_space
+
+    space = dg_space(grid, space_order)
+    nd = space.shape_count
+    KY, KX = order.lattice
+    L = KY * KX
+    plan = stencil_plan(order)
+    inv = np.asarray(order.inv)
+    faces_of = _geo_slots(grid, order)  # [NC(new), 3]
+    interior_f = np.asarray(grid.interior_faces)
+    dirichlet_f = np.zeros(grid.num_faces, dtype=bool)
+    dirichlet_f[np.nonzero(binfo.dirichlet_faces)[0]] = True
+
+    # volume: per-subclass constant gradients + translated quadrature
+    ref, w = tri_rule(qorder_vol)
+    kq_v = len(w)
+    vol_qp = np.empty((kq_v, 8, KY, KX, 2))
+    vol_G = np.empty((8, kq_v, nd, nd))
+    vol_wvals = np.empty((8, kq_v, nd))  # qw x basis values (for the rhs)
+    verts_all = grid.cell_vertices
+    for k in range(8):
+        rep_new = k * L
+        rep_old = inv[rep_new]
+        v = verts_all[rep_old]  # [3, 2]
+        e1, e2 = v[1] - v[0], v[2] - v[0]
+        detj = abs(e1[0] * e2[1] - e1[1] * e2[0])
+        qw_v = 2.0 * w * detj * 0.5
+        # constant P1 gradients
+        import jax.numpy as _jnp
+
+        g = np.asarray(space.shape_gradients(
+            _jnp.asarray(v)[None], _jnp.asarray(v.mean(0))[None, None]))[0, 0]
+        vol_G[k] = qw_v[:, None, None] * np.einsum("ia,ja->ij", g, g)[None]
+        # quadrature points per cell by translation from the representative
+        qp_rep = v[0] + ref[:, 0:1] * e1[None] + ref[:, 1:2] * e2[None]
+        vals = np.asarray(space.shape_values(
+            _jnp.asarray(v)[None], _jnp.asarray(qp_rep)[None]))[0]  # [kq, nd]
+        vol_wvals[k] = qw_v[:, None] * vals
+        anchors = verts_all[inv[k * L: (k + 1) * L], 0]  # [L, 2] v0 per cell
+        vol_qp[:, k] = (qp_rep[:, None] + (anchors - v[0])[None]).reshape(
+            kq_v, KY, KX, 2)
+
+    # face families
+    t_e, w_e = edge_rule(qorder_face)
+    kq_f = len(w_e)
+    families = []
+    for k in range(8):
+        row = []
+        cells_new = np.arange(k * L, (k + 1) * L)
+        cells_old = inv[cells_new]
+        cents = grid.cell_centroids[cells_old]  # [L, 2]
+        for s in range(3):
+            ks, dy, dx = plan[k][s]
+            f_ids = faces_of[cells_new, s]  # [L]
+            fv = grid.face_vertices[f_ids]  # [L, 2, 2]
+            # representative geometry
+            a0, b0 = fv[0, 0], fv[0, 1]
+            h = float(np.linalg.norm(b0 - a0))
+            # verify the family is translation-congruent
+            d = fv - fv[0:1]
+            assert np.allclose(d[:, 0] - d[:, 1], 0.0, atol=1e-12), (k, s)
+            qp_rep = a0[None] + t_e[:, None] * (b0 - a0)[None]  # [kq, 2]
+            qw = w_e * h
+            # outward normal of THIS cell (representative): face normal
+            # oriented away from the cell centroid
+            n_raw = grid.face_normals[f_ids[0]]
+            cvec = qp_rep.mean(0) - cents[0]
+            n_out = n_raw if np.dot(n_raw, cvec) > 0 else -n_raw
+            # basis values/fluxes at the representative face
+            rep_old = cells_old[0]
+            v_m = verts_all[rep_old]
+            import jax.numpy as _jnp
+
+            vals_m = np.asarray(space.shape_values(
+                _jnp.asarray(v_m)[None], _jnp.asarray(qp_rep)[None]))[0]
+            g_m = np.asarray(space.shape_gradients(
+                _jnp.asarray(v_m)[None], _jnp.asarray(qp_rep[:1])[None]))[0, 0]
+            nflux_m = g_m @ n_out
+            # neighbour representative: pick an interior face of the family
+            int_mask = interior_f[f_ids]
+            if int_mask.any():
+                j0 = int(np.argmax(int_mask))
+                f0 = f_ids[j0]
+                c_m_old = cells_old[j0]
+                both = grid.face_cells[f0]
+                c_p_old = both[1] if both[0] == c_m_old else both[0]
+                v_p_rep = verts_all[c_p_old]
+                qp_j = fv[j0, 0][None] + t_e[:, None] * (fv[j0, 1] - fv[j0, 0])[None]
+                vals_p = np.asarray(space.shape_values(
+                    _jnp.asarray(v_p_rep)[None], _jnp.asarray(qp_j)[None]))[0]
+                g_p = np.asarray(space.shape_gradients(
+                    _jnp.asarray(v_p_rep)[None], _jnp.asarray(qp_j[:1])[None]))[0, 0]
+                nflux_p = g_p @ n_out
+                cent_p_rep = grid.cell_centroids[c_p_old]
+                # shift of the p-centroid relative to the face anchor
+                p_cent_off = cent_p_rep - fv[j0, 0]
+            else:
+                vals_p = np.zeros_like(vals_m)
+                nflux_p = np.zeros(nd)
+                p_cent_off = np.zeros(2)
+            # per-cell translated quadrature + side-shifted variants
+            anchors = fv[:, 0]  # [L, 2]
+            qp_all = qp_rep[:, None] + (anchors - a0)[None]  # [kq, L, 2]
+            cent_m = cents[None]  # [1, L, 2]
+            cent_p = (anchors + p_cent_off[None])[None]
+            qp_m = qp_all + side_eps * (cent_m - qp_all)
+            qp_p = qp_all + side_eps * (cent_p - qp_all)
+            row.append(_FaceFamily(
+                k_src=ks, dy=dy, dx=dx,
+                qp=qp_all.reshape(kq_f, KY, KX, 2),
+                qp_m=qp_m.reshape(kq_f, KY, KX, 2),
+                qp_p=qp_p.reshape(kq_f, KY, KX, 2),
+                qw=qw, h=h,
+                vals_m=vals_m, vals_p=vals_p,
+                nflux_m=np.asarray(nflux_m), nflux_p=np.asarray(nflux_p),
+                interior=int_mask.reshape(KY, KX),
+                dirichlet=dirichlet_f[f_ids].reshape(KY, KX),
+            ))
+        families.append(tuple(row))
+
+    return StructuredAssemblyPlan(
+        families=tuple(families), vol_qp=vol_qp, vol_G=vol_G,
+        vol_wvals=vol_wvals, plan=plan,
+        lattice=(KY, KX), nd=nd,
+        sigma_i=inner_sigma(space_order), sigma_b=boundary_sigma(space_order),
+        beta=default_beta(2),
+    )
+
+
+def structured_rhs(plan: StructuredAssemblyPlan, force_fn,
+                   dtype=jnp.float32) -> jnp.ndarray:
+    """SoA rhs [nd, 8, KY, KX]: B[i] = sum_q f(qp_q) qw_q phi_i(qp_q).
+    Valid when the force quadrature order <= the plan's volume order."""
+    f = force_fn(jnp.asarray(plan.vol_qp, dtype=dtype))  # [kq, 8, KY, KX]
+    wv = jnp.asarray(plan.vol_wvals, dtype=dtype)        # [8, kq, nd]
+    return jnp.einsum("qkyx,kqi->ikyx", f, wv)
+
+
+def scale_planes(S: StencilBlockEll, B: jnp.ndarray):
+    """(S, B) -> (S A S, S B, s) symmetric block-Jacobi diagonal scaling in
+    the plane layout (cf. la/block_ell.symmetric_diagonal_scaling)."""
+    nd = S.nd
+    diag = jnp.stack([S.planes[0, i, i] for i in range(nd)])  # [nd, 8, KY, KX]
+    s = 1.0 / jnp.sqrt(jnp.maximum(diag, 1e-30))
+    fields = S.neighbor_fields(s)  # [4][nd, 8, KY, KX]
+    # planes[sl, i, j] *= s[i] * s_neighbor[j]
+    scaled = jnp.stack([
+        S.planes[sl] * s[:, None] * fields[sl][None, :]
+        for sl in range(4)
+    ])
+    return S.with_planes(scaled), B * s, s
+
+
+def assemble_structured_spe10(plan: StructuredAssemblyPlan, lam_fn,
+                              cell_field: Optional[jnp.ndarray] = None,
+                              dtype=jnp.float32) -> StencilBlockEll:
+    """Assemble the SWIPDG operator into planes.
+
+    ``lam_fn``: scalar coefficient evaluated at quadrature points (may vary
+    within cells).  ``cell_field`` [8, KY, KX]: optional cell-constant
+    scalar multiplier (the SPE10 permeability as per-cell values in SoA
+    order); the total diffusion is a(x) = lam_fn(x) * cell_field[cell].
+    """
+    KY, KX = plan.lattice
+    nd = plan.nd
+
+    def a_eval(qp, field_vals):
+        lam = lam_fn(jnp.asarray(qp, dtype=dtype))
+        if field_vals is not None:
+            lam = lam * field_vals
+        return lam  # [kq, KY, KX]
+
+    # --- volume ---
+    a_vol = a_eval(plan.vol_qp, None if cell_field is None
+                   else cell_field[None])  # [kq_v, 8, KY, KX]
+    volG = jnp.asarray(plan.vol_G, dtype=dtype)  # [8, kq, nd, nd]
+    # W0[i,j,k] += sum_q a_vol[q,k] * volG[k,q,i,j]
+    w0 = jnp.einsum("qkyx,kqij->ijkyx", a_vol, volG)
+
+    planes = [w0 if s == 0 else jnp.zeros((nd, nd, 8, KY, KX), dtype=dtype)
+              for s in range(4)]
+
+    # --- faces (one side per family; every plane entry written once) ---
+    for k in range(8):
+        for s in range(3):
+            fam = plan.families[k][s]
+            field_m = None if cell_field is None else cell_field[k][None]
+            if cell_field is not None:
+                field_p = jnp.roll(cell_field[fam.k_src],
+                                   shift=(-fam.dy, -fam.dx), axis=(0, 1))[None]
+            else:
+                field_p = None
+            a_m = a_eval(fam.qp_m, field_m)  # [kq, KY, KX]
+            a_p = a_eval(fam.qp_p, field_p)
+            qw = jnp.asarray(fam.qw, dtype=dtype)  # [kq]
+            interior = jnp.asarray(fam.interior, dtype=dtype)
+            dirich = jnp.asarray(fam.dirichlet, dtype=dtype)
+            vals_m = jnp.asarray(fam.vals_m, dtype=dtype)  # [kq, nd]
+            vals_p = jnp.asarray(fam.vals_p, dtype=dtype)
+            nfm = jnp.asarray(fam.nflux_m, dtype=dtype)  # [nd]
+            nfp = jnp.asarray(fam.nflux_p, dtype=dtype)
+            hb = fam.h ** plan.beta
+
+            # side quantities (kappa = a * I): delta = a, flux_i = a * nflux_i
+            denom = a_m + a_p
+            zero = denom == 0
+            safe = jnp.where(zero, 1.0, denom)
+            w_m = jnp.where(zero, 0.5, a_p / safe)
+            w_p = jnp.where(zero, 0.5, a_m / safe)
+            gamma = jnp.where(zero, 0.0, a_m * a_p / safe)
+            pen = plan.sigma_i * gamma / hb       # [kq, KY, KX]
+            wam = w_m * a_m                        # weighted inside flux coeff
+            wap = w_p * a_p
+
+            # interior: test side = m (this cell) only
+            # b[m,m] = sum_q qw ( pen v_m v_m - v_m wam nfm - wam nfm v_m )
+            # b[m,p] = sum_q qw ( -pen v_m v_p - v_m wap nfp + wam nfm v_p )
+            # (jump sign: [u] = u_m - u_p with n = n_out of m)
+            pen_q = jnp.einsum("q,qyx->qyx", qw, pen)
+            wam_q = jnp.einsum("q,qyx->qyx", qw, wam)
+            wap_q = jnp.einsum("q,qyx->qyx", qw, wap)
+            # boundary (dirichlet): one-sided with sigma_b * a_m
+            penb_q = jnp.einsum("q,qyx->qyx", qw,
+                                plan.sigma_b * a_m / hb)
+            am_q = jnp.einsum("q,qyx->qyx", qw, a_m)
+
+            PenMM = jnp.einsum("qi,qj->qij", vals_m, vals_m)
+            PenMP = jnp.einsum("qi,qj->qij", vals_m, vals_p)
+            VnM = jnp.einsum("qi,j->qij", vals_m, nfm)   # v_m (x) nflux_m
+            NvM = jnp.einsum("i,qj->qij", nfm, vals_m)
+            VnP = jnp.einsum("qi,j->qij", vals_m, nfp)   # v_m (x) nflux_p
+            NvP = jnp.einsum("i,qj->qij", nfm, vals_p)   # nflux_m (x) v_p
+
+            b_mm_int = (jnp.einsum("qyx,qij->ijyx", pen_q, PenMM)
+                        - jnp.einsum("qyx,qij->ijyx", wam_q, VnM)
+                        - jnp.einsum("qyx,qij->ijyx", wam_q, NvM))
+            b_mp_int = (-jnp.einsum("qyx,qij->ijyx", pen_q, PenMP)
+                        - jnp.einsum("qyx,qij->ijyx", wap_q, VnP)
+                        + jnp.einsum("qyx,qij->ijyx", wam_q, NvP))
+            b_mm_dir = (jnp.einsum("qyx,qij->ijyx", penb_q, PenMM)
+                        - jnp.einsum("qyx,qij->ijyx", am_q, VnM)
+                        - jnp.einsum("qyx,qij->ijyx", am_q, NvM))
+
+            self_add = interior * b_mm_int + dirich * b_mm_dir
+            nb_set = interior * b_mp_int
+            planes[0] = planes[0].at[:, :, k].add(self_add)
+            planes[s + 1] = planes[s + 1].at[:, :, k].add(nb_set)
+
+    return StencilBlockEll(jnp.stack(planes), plan.plan)

@@ -45,6 +45,8 @@ if __name__ == "__main__":
             run("stencil+jacobi", "stencil", BENCH_SMOOTHER="jacobi")
         elif c == "stencil-cheb2":
             run("stencil+cheb2", "stencil", BENCH_SMOOTHER="cheb2")
+        elif c == "stencil2":
+            run("stencil2(direct-asm)", "stencil2", BENCH_SMOOTHER="jacobi")
         elif c == "stencil-cheb3":
             run("stencil+cheb3", "stencil", BENCH_SMOOTHER="cheb3")
         elif c.startswith("stencil-inner"):
