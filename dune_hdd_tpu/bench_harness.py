@@ -209,9 +209,10 @@ def build_spe10_bench(bisections: int = 4, maxiter: int = 300,
 
         smoother_kind = os.environ.get("BENCH_SMOOTHER", "jacobi")
         newton_schulz = int(os.environ.get("BENCH_NS", "3"))
-        maps = soa_index_maps(order, 3)
         KY, KX = order.lattice
         splan = build_structured_assembly(grid, order, binfo)
+        from .la.stencil_assembly import geometric_soa_maps
+        _to_soa_g, _from_soa_g = geometric_soa_maps(order, splan)
         # cell-constant permeability in SoA order: macro id per cell (static)
         cent = grid.cell_centroids
         ij_cell = np.clip(
@@ -236,7 +237,7 @@ def build_spe10_bench(bisections: int = 4, maxiter: int = 300,
             X, res, iters = stencil_refined_solve(
                 S, B, M, tol=tol, inner_iters=inner_iters,
                 unroll=int(os.environ.get("BENCH_UNROLL", "4")))
-            u = (X * s.astype(X.dtype)).reshape(-1)[jnp.asarray(maps.from_soa)]
+            u = (X * s.astype(X.dtype)).reshape(-1)[jnp.asarray(_from_soa_g)]
             return u, res
 
     if preconditioner == "stencil":

@@ -68,6 +68,11 @@ class StructuredAssemblyPlan(NamedTuple):
     vol_qp: np.ndarray    # [kq_v, 8, KY, KX, 2]
     vol_G: np.ndarray     # [8, kq_v, nd, nd] qw x (grad_i . grad_j)
     vol_wvals: np.ndarray  # [8, kq_v, nd] qw x basis values
+    dof_perm: np.ndarray  # [8, KY, KX, nd] storage dof index of geometric
+    # role r (cells within a subclass are geometric translates but their
+    # VERTEX STORAGE ORDER varies with refinement history; the planes are
+    # assembled in the representative's role enumeration and this map
+    # absorbs the per-cell permutation into the SoA<->flat index maps)
     plan: tuple           # stencil plan (8 x 3 (k_src, dy, dx))
     lattice: Tuple[int, int]
     nd: int
@@ -106,6 +111,25 @@ def build_structured_assembly(grid: Grid, order, binfo,
     dirichlet_f = np.zeros(grid.num_faces, dtype=bool)
     dirichlet_f[np.nonzero(binfo.dirichlet_faces)[0]] = True
 
+    # per-cell dof permutation: geometric role r (= the representative's
+    # storage order) -> this cell's storage index, by matching vertex
+    # offsets relative to the cell anchor (v0 is NOT a translation-invariant
+    # anchor, so use the bounding-box corner)
+    dof_perm = np.empty((8, KY, KX, nd), dtype=np.int64)
+    verts_all0 = grid.cell_vertices
+    for k in range(8):
+        cells_old_k = inv[k * L: (k + 1) * L]
+        v = verts_all0[cells_old_k]  # [L, nvc, 2]
+        anchor = v.min(axis=1)  # [L, 2] bbox corner (translation-invariant)
+        rel = v - anchor[:, None]  # [L, nvc, 2]
+        rep_rel = rel[0]  # role r = storage order of the representative
+        # perm[c, r] = argmin_j |rel[c, j] - rep_rel[r]|
+        dist = np.linalg.norm(rel[:, None, :, :] - rep_rel[None, :, None, :],
+                              axis=-1)  # [L, r, j]
+        perm = dist.argmin(axis=-1)
+        assert (np.take_along_axis(dist, perm[..., None], -1) < 1e-9).all(), k
+        dof_perm[k] = perm.reshape(KY, KX, nd)
+
     # volume: per-subclass constant gradients + translated quadrature
     ref, w = tri_rule(qorder_vol)
     kq_v = len(w)
@@ -131,9 +155,12 @@ def build_structured_assembly(grid: Grid, order, binfo,
         vals = np.asarray(space.shape_values(
             _jnp.asarray(v)[None], _jnp.asarray(qp_rep)[None]))[0]  # [kq, nd]
         vol_wvals[k] = qw_v[:, None] * vals
-        anchors = verts_all[inv[k * L: (k + 1) * L], 0]  # [L, 2] v0 per cell
-        vol_qp[:, k] = (qp_rep[:, None] + (anchors - v[0])[None]).reshape(
-            kq_v, KY, KX, 2)
+        # translation offsets anchored on the bbox corner (v0 is NOT
+        # translation-invariant: vertex storage order varies per cell)
+        cells_k = verts_all[inv[k * L: (k + 1) * L]]  # [L, nvc, 2]
+        anchors = cells_k.min(axis=1)  # [L, 2]
+        vol_qp[:, k] = (qp_rep[:, None] + (anchors - v.min(axis=0))[None]
+                        ).reshape(kq_v, KY, KX, 2)
 
     # face families
     t_e, w_e = edge_rule(qorder_face)
@@ -148,12 +175,16 @@ def build_structured_assembly(grid: Grid, order, binfo,
             ks, dy, dx = plan[k][s]
             f_ids = faces_of[cells_new, s]  # [L]
             fv = grid.face_vertices[f_ids]  # [L, 2, 2]
-            # representative geometry
+            # representative geometry; the stored endpoint ORDER may flip
+            # within a family (face keys are sorted by vertex id), so anchor
+            # on the elementwise-min corner, which is storage-order-invariant
             a0, b0 = fv[0, 0], fv[0, 1]
             h = float(np.linalg.norm(b0 - a0))
-            # verify the family is translation-congruent
-            d = fv - fv[0:1]
-            assert np.allclose(d[:, 0] - d[:, 1], 0.0, atol=1e-12), (k, s)
+            anchors_c = np.minimum(fv[:, 0], fv[:, 1])  # [L, 2]
+            a0c = anchors_c[0]
+            # verify the family is translation-congruent (up to endpoint swap)
+            dvec = np.abs(fv[:, 1] - fv[:, 0])
+            assert np.allclose(dvec - np.abs(b0 - a0), 0.0, atol=1e-9), (k, s)
             qp_rep = a0[None] + t_e[:, None] * (b0 - a0)[None]  # [kq, 2]
             qw = w_e * h
             # outward normal of THIS cell (representative): face normal
@@ -180,24 +211,34 @@ def build_structured_assembly(grid: Grid, order, binfo,
                 both = grid.face_cells[f0]
                 c_p_old = both[1] if both[0] == c_m_old else both[0]
                 v_p_rep = verts_all[c_p_old]
-                qp_j = fv[j0, 0][None] + t_e[:, None] * (fv[j0, 1] - fv[j0, 0])[None]
+                # evaluate the neighbour basis at the representative's qp
+                # TRANSLATED to face j0 (canonical-anchor offset)
+                qp_j = qp_rep + (anchors_c[j0] - a0c)[None]
                 vals_p = np.asarray(space.shape_values(
                     _jnp.asarray(v_p_rep)[None], _jnp.asarray(qp_j)[None]))[0]
                 g_p = np.asarray(space.shape_gradients(
                     _jnp.asarray(v_p_rep)[None], _jnp.asarray(qp_j[:1])[None]))[0, 0]
                 nflux_p = g_p @ n_out
+                # re-express in the neighbour SUBCLASS's role enumeration
+                # (c_p_old is an arbitrary cell of subclass ks whose storage
+                # order may differ from ks's representative)
+                p_new = int(np.asarray(order.perm)[c_p_old])
+                assert p_new // L == ks, (k, s, p_new // L, ks)
+                piy, pix = divmod(p_new % L, KX)
+                pperm = dof_perm[ks, piy, pix]
+                vals_p = vals_p[:, pperm]
+                nflux_p = nflux_p[pperm]
                 cent_p_rep = grid.cell_centroids[c_p_old]
-                # shift of the p-centroid relative to the face anchor
-                p_cent_off = cent_p_rep - fv[j0, 0]
+                # shift of the p-centroid relative to the canonical anchor
+                p_cent_off = cent_p_rep - anchors_c[j0]
             else:
                 vals_p = np.zeros_like(vals_m)
                 nflux_p = np.zeros(nd)
                 p_cent_off = np.zeros(2)
             # per-cell translated quadrature + side-shifted variants
-            anchors = fv[:, 0]  # [L, 2]
-            qp_all = qp_rep[:, None] + (anchors - a0)[None]  # [kq, L, 2]
+            qp_all = qp_rep[:, None] + (anchors_c - a0c)[None]  # [kq, L, 2]
             cent_m = cents[None]  # [1, L, 2]
-            cent_p = (anchors + p_cent_off[None])[None]
+            cent_p = (anchors_c + p_cent_off[None])[None]
             qp_m = qp_all + side_eps * (cent_m - qp_all)
             qp_p = qp_all + side_eps * (cent_p - qp_all)
             row.append(_FaceFamily(
@@ -215,11 +256,28 @@ def build_structured_assembly(grid: Grid, order, binfo,
 
     return StructuredAssemblyPlan(
         families=tuple(families), vol_qp=vol_qp, vol_G=vol_G,
-        vol_wvals=vol_wvals, plan=plan,
+        vol_wvals=vol_wvals, dof_perm=dof_perm, plan=plan,
         lattice=(KY, KX), nd=nd,
         sigma_i=inner_sigma(space_order), sigma_b=boundary_sigma(space_order),
         beta=default_beta(2),
     )
+
+
+def geometric_soa_maps(order, plan: StructuredAssemblyPlan):
+    """(to_soa, from_soa) flat index maps between the standard cell-major
+    vector (original cell order, storage dof enumeration) and the
+    role-enumerated SoA [nd, 8, KY, KX] layout of the structured assembly
+    (cf. stencil.soa_index_maps, plus the per-cell dof permutation)."""
+    KY, KX = plan.lattice
+    nd = plan.nd
+    NC = order.num_cells
+    inv = np.asarray(order.inv)  # new -> old
+    # soa position (r, new) <- old flat index inv[new]*nd + perm[new, r]
+    perm_flat = plan.dof_perm.reshape(8 * KY * KX, nd)
+    to_soa = (inv[None, :] * nd + perm_flat.T).reshape(-1)
+    from_soa = np.empty(NC * nd, dtype=np.int64)
+    from_soa[to_soa] = np.arange(NC * nd)
+    return to_soa.astype(np.int32), from_soa.astype(np.int32)
 
 
 def structured_rhs(plan: StructuredAssemblyPlan, force_fn,

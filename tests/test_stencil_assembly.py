@@ -27,6 +27,7 @@ from dune_hdd_tpu.la.stencil import StencilBlockEll, soa_index_maps
 from dune_hdd_tpu.la.stencil_assembly import (
     assemble_structured_spe10,
     build_structured_assembly,
+    geometric_soa_maps,
     scale_planes,
     structured_rhs,
 )
@@ -105,3 +106,39 @@ def test_rhs_and_scaling_match(setup):
     np.testing.assert_allclose(
         np.asarray(B_new), np.asarray(B_ref), rtol=1e-10,
         atol=1e-12 * float(jnp.abs(B_ref).max()))
+
+
+@pytest.mark.slow
+def test_matvec_equivalence_at_bisections4():
+    """At 4 bisections cells within a subclass have VARYING vertex storage
+    orders (refinement history); the role-enumerated assembly + geometric
+    index maps must still reproduce the general operator as a linear map
+    (regression for the dof-permutation bug found on the chip)."""
+    grid = alu_cube_grid((0.0, 0.0), (5.0, 1.0), (100, 20), refinements=4)
+    binfo = make_boundary_info(grid, {"type": "stuff.grid.boundaryinfo.alldirichlet"})
+    space = dg_space(grid)
+    order = structured_cell_order(grid, (0.0, 0.0), (5.0, 1.0))
+    dfac = SumFunction(
+        [ConstantFunction(1.0), ScaledFunction(IndicatorFunction(CHANNEL), -0.9)])
+    field = jnp.asarray(_synthetic_model1_field())
+    interior = np.nonzero(grid.interior_faces)[0]
+    dirichlet = np.nonzero(binfo.dirichlet_faces)[0]
+    tensor = _field_tensor_function(field)
+    vol = elliptic_cell_matrices(space, dfac, tensor)
+    ib, bb = swipdg_face_blocks(space, dfac, tensor, interior, dirichlet)
+    A = build_block_ell(space, vol, ib, bb, interior, dirichlet)
+
+    plan = build_structured_assembly(grid, order, binfo, side_eps=1e-7)
+    # dof permutations are genuinely non-trivial at this depth
+    assert (plan.dof_perm != np.arange(3)).any()
+    cf = _cell_field_soa(grid, order, field)
+    S = assemble_structured_spe10(plan, dfac, cf, dtype=jnp.float64)
+    to_g, from_g = geometric_soa_maps(order, plan)
+    KY, KX = order.lattice
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(grid.num_cells * 3))
+    y_ref = np.asarray(A.matvec(x))
+    X = x[jnp.asarray(to_g)].reshape(3, 8, KY, KX)
+    y = np.asarray(S.matvec(X).reshape(-1)[jnp.asarray(from_g)])
+    np.testing.assert_allclose(y, y_ref, rtol=0,
+                               atol=1e-12 * np.abs(y_ref).max())
