@@ -208,7 +208,7 @@ def build_spe10_bench(bisections: int = 4, maxiter: int = 300,
         )
 
         smoother_kind = os.environ.get("BENCH_SMOOTHER", "jacobi")
-        newton_schulz = int(os.environ.get("BENCH_NS", "3"))
+        newton_schulz = int(os.environ.get("BENCH_NS", "2"))
         KY, KX = order.lattice
         splan = build_structured_assembly(grid, order, binfo)
         from .la.stencil_assembly import geometric_soa_maps
@@ -250,7 +250,7 @@ def build_spe10_bench(bisections: int = 4, maxiter: int = 300,
         )
 
         smoother_kind = os.environ.get("BENCH_SMOOTHER", "jacobi")
-        newton_schulz = int(os.environ.get("BENCH_NS", "3"))
+        newton_schulz = int(os.environ.get("BENCH_NS", "2"))
         maps = soa_index_maps(order, 3)
         KY, KX = order.lattice
 

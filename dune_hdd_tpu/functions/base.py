@@ -159,10 +159,20 @@ class IndicatorFunction(Function):
         self.range_shape = ()
 
     def __call__(self, x):
-        # x: [..., 2]; boxes: [K, 2]
-        xe = x[..., None, :]
-        inside = jnp.all((xe >= self.lowers) & (xe < self.uppers), axis=-1)
-        return jnp.sum(jnp.where(inside, self.values, 0.0), axis=-1)
+        # Box axis LEADING, point axes minor: the naive [..., K, 2] layout
+        # puts sizes 105/2 in the (sub)lane dims — 60x lane waste on TPU.
+        # Here every compare array is [K, ...points] (points dense in lanes)
+        # and the weighted count is one [K] x [K, N] contraction.
+        x0, x1 = x[..., 0], x[..., 1]
+        sh = (-1,) + (1,) * x0.ndim
+        lo0 = self.lowers[:, 0].reshape(sh)
+        lo1 = self.lowers[:, 1].reshape(sh)
+        up0 = self.uppers[:, 0].reshape(sh)
+        up1 = self.uppers[:, 1].reshape(sh)
+        inside = ((x0[None] >= lo0) & (x0[None] < up0)
+                  & (x1[None] >= lo1) & (x1[None] < up1))
+        vals = self.values.astype(jnp.result_type(x.dtype, self.values.dtype))
+        return jnp.tensordot(vals, inside.astype(vals.dtype), axes=([0], [0]))
 
 
 class FlatTopFunction(Function):
