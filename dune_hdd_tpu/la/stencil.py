@@ -383,6 +383,89 @@ def _coarse_E_banded(A: StencilBlockEll, agg: _Aggregation) -> jnp.ndarray:
     return E
 
 
+def _block_tridiag_solve(B: jnp.ndarray, C: jnp.ndarray, R: jnp.ndarray,
+                         precision=None) -> jnp.ndarray:
+    """Solve the symmetric block-tridiagonal system
+
+        C_{i-1}^T y_{i-1} + B_i y_i + C_i y_{i+1} = r_i,  i = 0..n-1
+
+    for a BATCH of right-hand sides by block cyclic reduction: log2(n)
+    levels of batched [m,m] x [m,N] matmuls — MXU-friendly, unlike the
+    panel-sequential dense LU.  B [n,m,m], C [n,m,m] with C[n-1] == 0
+    (C_i couples block i to i+1), R [n,m,N].  n must be a power of two
+    (pad with identity blocks / zero coupling / zero rhs)."""
+    hp = precision or jax.lax.Precision.HIGHEST
+    n = B.shape[0]
+    if n == 1:
+        return jnp.linalg.solve(B[0], R[0])[None]
+
+    def mm(a, b):
+        return jnp.einsum("nij,njk->nik", a, b, precision=hp)
+
+    Binv_odd = jnp.linalg.inv(B[1::2])  # [n/2, m, m]
+    CL = C[0::2]   # C[2e]   : even 2e   -> odd 2e+1
+    CRo = C[1::2]  # C[2e+1] : odd 2e+1  -> even 2e+2  (last is C[n-1] = 0)
+    G = mm(CL, Binv_odd)                     # C[2e] Binv[2e+1]
+    H = mm(jnp.swapaxes(CRo, -1, -2), Binv_odd)  # C[2e+1]^T Binv[2e+1]
+    T = mm(H, CRo)                           # C^T Binv C (for even 2e+2)
+    B_new = B[0::2] - mm(G, jnp.swapaxes(CL, -1, -2))
+    B_new = B_new - jnp.concatenate([jnp.zeros_like(T[:1]), T[:-1]], axis=0)
+    C_new = -mm(G, CRo)                      # even 2e -> even 2e+2
+    R_odd = R[1::2]
+    R_new = R[0::2] - mm(G, R_odd)
+    HR = mm(H, R_odd)
+    R_new = R_new - jnp.concatenate([jnp.zeros_like(HR[:1]), HR[:-1]], axis=0)
+    y_even = _block_tridiag_solve(B_new, C_new, R_new, precision=hp)
+    # back-substitute odds: y[2e+1] = Binv (r - CL^T y[2e] - CRo y[2e+2])
+    y_next = jnp.concatenate([y_even[1:], jnp.zeros_like(y_even[:1])], axis=0)
+    rhs_odd = (R_odd - mm(jnp.swapaxes(CL, -1, -2), y_even)
+               - mm(CRo, y_next))
+    y_odd = mm(Binv_odd, rhs_odd)
+    # interleave
+    out = jnp.zeros((n,) + y_even.shape[1:], dtype=y_even.dtype)
+    out = out.at[0::2].set(y_even).at[1::2].set(y_odd)
+    return out
+
+
+def _coarse_inverse_bcr(E: jnp.ndarray, mx: int, my: int,
+                        newton_schulz: int = 2) -> Callable:
+    """Dense symmetrized inverse of the diagonally-scaled coarse operator
+    via block cyclic reduction (the coarse lattice is block-tridiagonal
+    with mx blocks of size my) + Newton-Schulz polish.  Replaces the
+    panel-sequential jnp.linalg.inv LU, which dominates the preconditioner
+    build wall-time on TPU."""
+    hp = jax.lax.Precision.HIGHEST
+    n_agg = mx * my
+    d = jnp.sqrt(jnp.maximum(jnp.abs(jnp.diag(E)), 1e-30))
+    Es = ((E / d[:, None]) / d[None, :]).astype(jnp.float32)
+    E4 = Es.reshape(mx, my, mx, my)
+    ix = np.arange(mx)
+    B = E4[ix, :, ix, :]                     # [mx, my, my]
+    C = jnp.concatenate(
+        [E4[ix[:-1], :, ix[:-1] + 1, :], jnp.zeros((1, my, my), Es.dtype)])
+    # pad mx to a power of two with decoupled identity blocks
+    n2 = 1 << (mx - 1).bit_length()
+    if n2 != mx:
+        eye = jnp.broadcast_to(jnp.eye(my, dtype=Es.dtype), (n2 - mx, my, my))
+        B = jnp.concatenate([B, eye])
+        C = jnp.concatenate([C, jnp.zeros((n2 - mx, my, my), Es.dtype)])
+    R = jnp.eye(n_agg, dtype=Es.dtype).reshape(mx, my, n_agg)
+    if n2 != mx:
+        R = jnp.concatenate([R, jnp.zeros((n2 - mx, my, n_agg), Es.dtype)])
+    Einv = _block_tridiag_solve(B, C, R)[:mx].reshape(n_agg, n_agg)
+    two_eye = 2.0 * jnp.eye(n_agg, dtype=jnp.float32)
+    for _ in range(newton_schulz):
+        EX = jnp.matmul(Es, Einv, precision=hp)
+        Einv = jnp.matmul(Einv, two_eye - EX, precision=hp)
+    Einv = 0.5 * (Einv + Einv.T)
+
+    def solve(rc):
+        y = jnp.matmul(Einv, (rc / d).astype(jnp.float32), precision=hp)
+        return (y / d).astype(rc.dtype)
+
+    return solve
+
+
 def _coarse_inverse(E: jnp.ndarray, newton_schulz: int = 3) -> Callable:
     """Dense symmetrized inverse of the diagonally-scaled coarse operator
     (f32 LU + Newton-Schulz refinement; cf. la/deflation._coarse_inverse)."""
@@ -426,7 +509,9 @@ def stencil_deflation_preconditioner(
     if smoother is None:
         smoother = jacobi_smoother(A)
     E = _coarse_E_banded(A, agg)
-    coarse = _coarse_inverse(E, newton_schulz)
+    # block-cyclic-reduction inverse: the coarse lattice is block-tridiagonal
+    # ([mx] blocks of [my]); batched-matmul CR beats the sequential LU ~10x
+    coarse = _coarse_inverse_bcr(E, agg.mx, agg.my, newton_schulz)
     nd = A.nd
 
     if not use_az:

@@ -161,3 +161,45 @@ def test_refined_solve_reaches_true_tol(system, smoother):
     true = np.linalg.norm(r) / np.linalg.norm(np.asarray(b, dtype=np.float64))
     assert true <= 1.5e-6
     assert int(iters) > 0
+
+
+def test_block_tridiag_solve_random():
+    """Block cyclic reduction == dense solve on a random SPD block
+    tridiagonal system (incl. power-of-two padding, mx=10)."""
+    from dune_hdd_tpu.la.stencil import _coarse_inverse, _coarse_inverse_bcr
+
+    rng = np.random.default_rng(0)
+    mx, my = 10, 4
+    n = mx * my
+    A = np.zeros((n, n))
+    for i in range(mx):
+        Bi = rng.standard_normal((my, my))
+        A[i*my:(i+1)*my, i*my:(i+1)*my] = Bi @ Bi.T + 5 * np.eye(my)
+        if i + 1 < mx:
+            Ci = 0.3 * rng.standard_normal((my, my))
+            A[i*my:(i+1)*my, (i+1)*my:(i+2)*my] = Ci
+            A[(i+1)*my:(i+2)*my, i*my:(i+1)*my] = Ci.T
+    E = jnp.asarray(A)
+    r = jnp.asarray(rng.standard_normal(n))
+    yt = np.linalg.solve(A, np.asarray(r))
+    y_bcr = np.asarray(_coarse_inverse_bcr(E, mx, my, newton_schulz=2)(r))
+    np.testing.assert_allclose(y_bcr, yt, rtol=0, atol=1e-5 * np.abs(yt).max())
+    y_lu = np.asarray(_coarse_inverse(E, newton_schulz=2)(r))
+    np.testing.assert_allclose(y_bcr, y_lu, rtol=0, atol=1e-5 * np.abs(yt).max())
+
+
+def test_coarse_bcr_on_spe10_coarse_operator(system):
+    """BCR inverse quality matches the LU path on the high-contrast SPE10
+    coarse operator (the production preconditioner build path)."""
+    from dune_hdd_tpu.la.stencil import (
+        _aggregation, _coarse_E_banded, _coarse_inverse, _coarse_inverse_bcr)
+
+    grid, A, b, order = system
+    S = StencilBlockEll.from_block_ell(A, order)
+    agg = _aggregation(S, MACRO)
+    E = _coarse_E_banded(S, agg)
+    rng = np.random.default_rng(1)
+    r = jnp.asarray(rng.standard_normal(E.shape[0]), dtype=jnp.float64)
+    yt = np.linalg.solve(np.asarray(E, dtype=np.float64), np.asarray(r))
+    y = np.asarray(_coarse_inverse_bcr(E, agg.mx, agg.my, newton_schulz=2)(r))
+    np.testing.assert_allclose(y, yt, rtol=0, atol=2e-5 * np.abs(yt).max())
