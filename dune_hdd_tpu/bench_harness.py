@@ -203,6 +203,7 @@ def build_spe10_bench(bisections: int = 4, maxiter: int = 300,
         from .la.stencil_assembly import (
             assemble_structured_spe10,
             build_structured_assembly,
+            precompute_coefficient,
             scale_planes,
             structured_rhs,
         )
@@ -211,6 +212,9 @@ def build_spe10_bench(bisections: int = 4, maxiter: int = 300,
         newton_schulz = int(os.environ.get("BENCH_NS", "2"))
         KY, KX = order.lattice
         splan = build_structured_assembly(grid, order, binfo)
+        # the channel geometry is static (only the permeability field is a
+        # runtime input): evaluate the 105-box coefficient once on the host
+        dfac_pre = precompute_coefficient(splan, diffusion_factor)
         from .la.stencil_assembly import geometric_soa_maps
         _to_soa_g, _from_soa_g = geometric_soa_maps(order, splan)
         # cell-constant permeability in SoA order: macro id per cell (static)
@@ -226,7 +230,7 @@ def build_spe10_bench(bisections: int = 4, maxiter: int = 300,
             with jax.enable_x64(False), jax.default_matmul_precision("highest"):
                 f32field = field.astype(jnp.float32)
                 cf = f32field[ij_soa[..., 0], ij_soa[..., 1]]
-                S = assemble_structured_spe10(splan, diffusion_factor, cf)
+                S = assemble_structured_spe10(splan, dfac_pre, cf)
                 B = structured_rhs(splan, force)
                 S, B, s = scale_planes(S, B)
                 sm = None
@@ -318,13 +322,20 @@ def run_spe10_bench(bisections: int = 4, repeats: int = 3, **kw) -> dict:
     fn, field, num_dofs = build_spe10_bench(bisections=bisections, **kw)
     # warmup / compile
     u, res = fn(field)
-    u.block_until_ready()
+    float(res)
     times = []
     for i in range(repeats):
         f = field * (1.0 + 1e-6 * (i + 1))  # defeat any caching of identical inputs
+        np.asarray(f)  # materialize the input OUTSIDE the timed region
         t0 = time.perf_counter()
         u, res = fn(f)
-        u.block_until_ready()
+        # sync by FETCHING the scalar residual of this very execution:
+        # block_until_ready through the axon tunnel can return without
+        # waiting (measured: 800 chained matvecs "complete" in 0.03 ms
+        # until a data fetch forces the round trip) — an 8-byte fetch of an
+        # output scalar is the only reliable completion barrier, and it
+        # keeps the (0.77 MB) solution on device
+        float(res)
         times.append(time.perf_counter() - t0)
     dt = float(np.median(times))
     mdofs = num_dofs / dt / 1e6

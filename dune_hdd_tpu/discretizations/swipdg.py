@@ -377,8 +377,16 @@ class SWIPDGDiscretization(StationaryDiscretization):
     def uncached_solve(self, mu, options=None):
         """Adds the "block_cg[.jacobi]" solver type: the jitted block-ELL
         path (symmetric diagonal scaling + block-Jacobi CG) — the fast
-        online solver for DG systems."""
+        online solver for DG systems.  On structured NVB grids the
+        "stencil_cg" type routes through the SoA plane layout
+        (la/stencil.py — the fastest TPU path; optional two-level
+        deflation via options["macro"] = (mx, my))."""
         opts = dict(options or {})
+        if str(opts.get("type", "")) == "stencil_cg":
+            u = self._stencil_solve(mu, opts)
+            if u is not None:
+                return u
+            opts["type"] = "block_cg.jacobi"  # unstructured grid: fall back
         if str(opts.get("type", "")).startswith("block_cg"):
             key = (float(opts.get("precision", 1e-10)), int(opts.get("max_iter", 10000)))
             cache = self.__dict__.setdefault("_block_solvers", {})
@@ -388,6 +396,48 @@ class SWIPDGDiscretization(StationaryDiscretization):
             u, _res = solve_fn(*thetas(mu))
             return u
         return super().uncached_solve(mu, options)
+
+    def _stencil_solve(self, mu, opts):
+        """SoA plane-layout solve (la/stencil.py) for structured grids;
+        returns None when the grid has no structured cell order."""
+        from ..grid.structured_order import structured_cell_order
+        from ..la.block_ell import block_ell_from_sparse, symmetric_diagonal_scaling
+        from ..la.stencil import (
+            StencilBlockEll,
+            soa_index_maps,
+            stencil_deflation_preconditioner,
+            stencil_pcg,
+            jacobi_smoother,
+        )
+
+        grid = self.space.grid
+        order = self.__dict__.get("_stencil_order", False)
+        if order is False:
+            order = structured_cell_order(grid)
+            self.__dict__["_stencil_order"] = order
+        if order is None:
+            return None
+        mu = self.problem.parse_parameter(mu) if mu is not None else {}
+        frozen = self.freeze_operator(mu)
+        rhs = self.freeze_rhs(mu)
+        A = block_ell_from_sparse(self.space, frozen)
+        A_s, b_s, s = symmetric_diagonal_scaling(A, rhs)
+        S = StencilBlockEll.from_block_ell(A_s, order)
+        maps = soa_index_maps(order, S.nd)
+        KY, KX = order.lattice
+        B = b_s[jnp.asarray(maps.to_soa)].reshape(S.nd, 8, KY, KX)
+        M = None
+        macro = opts.get("macro")
+        if macro is not None:
+            M = stencil_deflation_preconditioner(S, tuple(macro))
+        if M is None:
+            M = jacobi_smoother(S)
+        bn = jnp.linalg.norm(B)
+        X, it = stencil_pcg(S, B / bn, M,
+                            rtol=float(opts.get("precision", 1e-10)),
+                            maxiter=int(opts.get("max_iter", 10000)))
+        u_s = (X * bn).reshape(-1)[jnp.asarray(maps.from_soa)]
+        return u_s * s
 
     def make_solve_fn(self, tol: float = 1e-8, maxiter: int = 2000,
                       dtype=None):

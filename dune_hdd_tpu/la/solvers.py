@@ -24,6 +24,9 @@ _DEFAULT_OPTS = {
     # handled by the DG discretizations (block-ELL fast path); listed here so
     # solver_options() documents it
     "block_cg.jacobi": {"type": "block_cg.jacobi", "max_iter": 10000, "precision": 1e-10},
+    # SoA plane-layout solver for structured NVB grids (la/stencil.py);
+    # handled by the DG discretizations, falls back to block_cg elsewhere
+    "stencil_cg": {"type": "stencil_cg", "max_iter": 10000, "precision": 1e-10},
     "cg": {"type": "cg", "max_iter": 10000, "precision": 1e-10},
     "cg.jacobi": {"type": "cg.jacobi", "max_iter": 10000, "precision": 1e-10},
     "bicgstab": {"type": "bicgstab", "max_iter": 10000, "precision": 1e-10},
@@ -37,7 +40,7 @@ def solver_types() -> List[str]:
     """Available solver ids; first entry is the default (mirrors
     Stuff::LA::Solver::types())."""
     return ["bicgstab.jacobi", "cg.jacobi", "cg", "bicgstab", "gmres.jacobi",
-            "gmres", "direct", "block_cg.jacobi"]
+            "gmres", "direct", "block_cg.jacobi", "stencil_cg"]
 
 
 def solver_options(type_: Optional[str] = None) -> Dict:

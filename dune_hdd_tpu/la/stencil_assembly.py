@@ -41,7 +41,7 @@ from ..ops.swipdg import boundary_sigma, default_beta, inner_sigma
 from .stencil import StencilBlockEll, stencil_plan
 
 __all__ = ["StructuredAssemblyPlan", "build_structured_assembly",
-           "assemble_structured_spe10"]
+           "assemble_structured_spe10", "precompute_coefficient"]
 
 _SIDE_EPS32 = 1e-3  # cf. ops/swipdg._side_eval (float32 branch)
 
@@ -280,6 +280,29 @@ def geometric_soa_maps(order, plan: StructuredAssemblyPlan):
     return to_soa.astype(np.int32), from_soa.astype(np.int32)
 
 
+class PrecomputedCoefficient(NamedTuple):
+    """Host-evaluated scalar coefficient at all assembly quadrature points
+    (legitimate when the coefficient function is static — e.g. the SPE10
+    channel geometry; the runtime permeability field still multiplies in).
+    The 105-box indicator evaluated in-trace costs ~35 ms of [K, N]
+    intermediates per assembly; precomputed it is a ~4 MB constant."""
+
+    a_vol: np.ndarray   # [kq_v, 8, KY, KX]
+    lam_m: np.ndarray   # [F, kq, KY, KX]
+    lam_p: np.ndarray   # [F, kq, KY, KX]
+
+
+def precompute_coefficient(plan: StructuredAssemblyPlan, lam_fn,
+                           dtype=np.float32) -> PrecomputedCoefficient:
+    fams = [plan.families[k][s] for k in range(8) for s in range(3)]
+    a_vol = np.asarray(lam_fn(jnp.asarray(plan.vol_qp)), dtype=dtype)
+    lam_m = np.asarray(
+        lam_fn(jnp.asarray(np.stack([f.qp_m for f in fams]))), dtype=dtype)
+    lam_p = np.asarray(
+        lam_fn(jnp.asarray(np.stack([f.qp_p for f in fams]))), dtype=dtype)
+    return PrecomputedCoefficient(a_vol, lam_m, lam_p)
+
+
 def structured_rhs(plan: StructuredAssemblyPlan, force_fn,
                    dtype=jnp.float32) -> jnp.ndarray:
     """SoA rhs [nd, 8, KY, KX]: B[i] = sum_q f(qp_q) qw_q phi_i(qp_q).
@@ -313,90 +336,91 @@ def assemble_structured_spe10(plan: StructuredAssemblyPlan, lam_fn,
     within cells).  ``cell_field`` [8, KY, KX]: optional cell-constant
     scalar multiplier (the SPE10 permeability as per-cell values in SoA
     order); the total diffusion is a(x) = lam_fn(x) * cell_field[cell].
+
+    All 24 face families are processed as ONE stacked batch — per-family
+    loops cost ~1000 tiny kernel launches (measured ~30 ms of pure launch
+    overhead on 16k-element lattice arrays); stacked, the whole face
+    assembly is ~20 fused ops over [24, ...] arrays.
     """
     KY, KX = plan.lattice
     nd = plan.nd
+    fams = [plan.families[k][s] for k in range(8) for s in range(3)]
+    F = len(fams)  # 24
 
-    def a_eval(qp, field_vals):
-        lam = lam_fn(jnp.asarray(qp, dtype=dtype))
-        if field_vals is not None:
-            lam = lam * field_vals
-        return lam  # [kq, KY, KX]
+    if isinstance(lam_fn, PrecomputedCoefficient):
+        a_vol = jnp.asarray(lam_fn.a_vol, dtype=dtype)
+        a_m = jnp.asarray(lam_fn.lam_m, dtype=dtype)
+        a_p = jnp.asarray(lam_fn.lam_p, dtype=dtype)
+    else:
+        a_vol = lam_fn(jnp.asarray(plan.vol_qp, dtype=dtype))
+        qp_m = jnp.asarray(np.stack([f.qp_m for f in fams]), dtype=dtype)
+        qp_p = jnp.asarray(np.stack([f.qp_p for f in fams]), dtype=dtype)
+        a_m = lam_fn(qp_m)  # [F, kq, KY, KX]
+        a_p = lam_fn(qp_p)
 
     # --- volume ---
-    a_vol = a_eval(plan.vol_qp, None if cell_field is None
-                   else cell_field[None])  # [kq_v, 8, KY, KX]
+    if cell_field is not None:
+        a_vol = a_vol * cell_field[None]
     volG = jnp.asarray(plan.vol_G, dtype=dtype)  # [8, kq, nd, nd]
-    # W0[i,j,k] += sum_q a_vol[q,k] * volG[k,q,i,j]
     w0 = jnp.einsum("qkyx,kqij->ijkyx", a_vol, volG)
 
-    planes = [w0 if s == 0 else jnp.zeros((nd, nd, 8, KY, KX), dtype=dtype)
-              for s in range(4)]
+    # --- faces, fully stacked over families ---
+    if cell_field is not None:
+        own = cell_field[np.array([k for k in range(8) for _ in range(3)])]
+        a_m = a_m * own[:, None]
+        nb = jnp.stack([
+            jnp.roll(cell_field[f.k_src], shift=(-f.dy, -f.dx), axis=(0, 1))
+            for f in fams])
+        a_p = a_p * nb[:, None]
+    qw = jnp.asarray(np.stack([f.qw for f in fams]), dtype=dtype)  # [F, kq]
+    hb = np.array([f.h ** plan.beta for f in fams])
+    interior = jnp.asarray(np.stack([f.interior for f in fams]), dtype=dtype)
+    dirich = jnp.asarray(np.stack([f.dirichlet for f in fams]), dtype=dtype)
+    vals_m = np.stack([f.vals_m for f in fams])   # [F, kq, nd]
+    vals_p = np.stack([f.vals_p for f in fams])
+    nfm = np.stack([f.nflux_m for f in fams])     # [F, nd]
+    nfp = np.stack([f.nflux_p for f in fams])
 
-    # --- faces (one side per family; every plane entry written once) ---
-    for k in range(8):
-        for s in range(3):
-            fam = plan.families[k][s]
-            field_m = None if cell_field is None else cell_field[k][None]
-            if cell_field is not None:
-                field_p = jnp.roll(cell_field[fam.k_src],
-                                   shift=(-fam.dy, -fam.dx), axis=(0, 1))[None]
-            else:
-                field_p = None
-            a_m = a_eval(fam.qp_m, field_m)  # [kq, KY, KX]
-            a_p = a_eval(fam.qp_p, field_p)
-            qw = jnp.asarray(fam.qw, dtype=dtype)  # [kq]
-            interior = jnp.asarray(fam.interior, dtype=dtype)
-            dirich = jnp.asarray(fam.dirichlet, dtype=dtype)
-            vals_m = jnp.asarray(fam.vals_m, dtype=dtype)  # [kq, nd]
-            vals_p = jnp.asarray(fam.vals_p, dtype=dtype)
-            nfm = jnp.asarray(fam.nflux_m, dtype=dtype)  # [nd]
-            nfp = jnp.asarray(fam.nflux_p, dtype=dtype)
-            hb = fam.h ** plan.beta
+    # side quantities (kappa = a * I): delta = a, flux_i = a * nflux_i
+    denom = a_m + a_p
+    zero = denom == 0
+    safe = jnp.where(zero, 1.0, denom)
+    w_m = jnp.where(zero, 0.5, a_p / safe)
+    gamma = jnp.where(zero, 0.0, a_m * a_p / safe)
+    inv_hb = jnp.asarray(1.0 / hb, dtype=dtype)[:, None, None, None]
+    pen_q = qw[..., None, None] * (plan.sigma_i * gamma * inv_hb)
+    wam_q = qw[..., None, None] * (w_m * a_m)
+    wap_q = qw[..., None, None] * ((1.0 - w_m) * a_p)
+    penb_q = qw[..., None, None] * (plan.sigma_b * a_m * inv_hb)
+    am_q = qw[..., None, None] * a_m
 
-            # side quantities (kappa = a * I): delta = a, flux_i = a * nflux_i
-            denom = a_m + a_p
-            zero = denom == 0
-            safe = jnp.where(zero, 1.0, denom)
-            w_m = jnp.where(zero, 0.5, a_p / safe)
-            w_p = jnp.where(zero, 0.5, a_m / safe)
-            gamma = jnp.where(zero, 0.0, a_m * a_p / safe)
-            pen = plan.sigma_i * gamma / hb       # [kq, KY, KX]
-            wam = w_m * a_m                        # weighted inside flux coeff
-            wap = w_p * a_p
+    # per-family constant tensors [F, kq, nd, nd]
+    PenMM = jnp.asarray(np.einsum("fqi,fqj->fqij", vals_m, vals_m), dtype=dtype)
+    PenMP = jnp.asarray(np.einsum("fqi,fqj->fqij", vals_m, vals_p), dtype=dtype)
+    VnM = jnp.asarray(np.einsum("fqi,fj->fqij", vals_m, nfm), dtype=dtype)
+    NvM = jnp.asarray(np.einsum("fi,fqj->fqij", nfm, vals_m), dtype=dtype)
+    VnP = jnp.asarray(np.einsum("fqi,fj->fqij", vals_m, nfp), dtype=dtype)
+    NvP = jnp.asarray(np.einsum("fi,fqj->fqij", nfm, vals_p), dtype=dtype)
 
-            # interior: test side = m (this cell) only
-            # b[m,m] = sum_q qw ( pen v_m v_m - v_m wam nfm - wam nfm v_m )
-            # b[m,p] = sum_q qw ( -pen v_m v_p - v_m wap nfp + wam nfm v_p )
-            # (jump sign: [u] = u_m - u_p with n = n_out of m)
-            pen_q = jnp.einsum("q,qyx->qyx", qw, pen)
-            wam_q = jnp.einsum("q,qyx->qyx", qw, wam)
-            wap_q = jnp.einsum("q,qyx->qyx", qw, wap)
-            # boundary (dirichlet): one-sided with sigma_b * a_m
-            penb_q = jnp.einsum("q,qyx->qyx", qw,
-                                plan.sigma_b * a_m / hb)
-            am_q = jnp.einsum("q,qyx->qyx", qw, a_m)
+    # b[m,m] = sum_q qw ( pen v_m v_m - v_m wam nfm - wam nfm v_m )
+    # b[m,p] = sum_q qw ( -pen v_m v_p - v_m wap nfp + wam nfm v_p )
+    # (jump sign: [u] = u_m - u_p with n = n_out of m)
+    b_mm_int = (jnp.einsum("fqyx,fqij->fijyx", pen_q, PenMM)
+                - jnp.einsum("fqyx,fqij->fijyx", wam_q, VnM + NvM))
+    b_mp_int = (-jnp.einsum("fqyx,fqij->fijyx", pen_q, PenMP)
+                - jnp.einsum("fqyx,fqij->fijyx", wap_q, VnP)
+                + jnp.einsum("fqyx,fqij->fijyx", wam_q, NvP))
+    b_mm_dir = (jnp.einsum("fqyx,fqij->fijyx", penb_q, PenMM)
+                - jnp.einsum("fqyx,fqij->fijyx", am_q, VnM + NvM))
 
-            PenMM = jnp.einsum("qi,qj->qij", vals_m, vals_m)
-            PenMP = jnp.einsum("qi,qj->qij", vals_m, vals_p)
-            VnM = jnp.einsum("qi,j->qij", vals_m, nfm)   # v_m (x) nflux_m
-            NvM = jnp.einsum("i,qj->qij", nfm, vals_m)
-            VnP = jnp.einsum("qi,j->qij", vals_m, nfp)   # v_m (x) nflux_p
-            NvP = jnp.einsum("i,qj->qij", nfm, vals_p)   # nflux_m (x) v_p
+    self_add = interior[:, None, None] * b_mm_int + dirich[:, None, None] * b_mm_dir
+    nb_set = interior[:, None, None] * b_mp_int
 
-            b_mm_int = (jnp.einsum("qyx,qij->ijyx", pen_q, PenMM)
-                        - jnp.einsum("qyx,qij->ijyx", wam_q, VnM)
-                        - jnp.einsum("qyx,qij->ijyx", wam_q, NvM))
-            b_mp_int = (-jnp.einsum("qyx,qij->ijyx", pen_q, PenMP)
-                        - jnp.einsum("qyx,qij->ijyx", wap_q, VnP)
-                        + jnp.einsum("qyx,qij->ijyx", wam_q, NvP))
-            b_mm_dir = (jnp.einsum("qyx,qij->ijyx", penb_q, PenMM)
-                        - jnp.einsum("qyx,qij->ijyx", am_q, VnM)
-                        - jnp.einsum("qyx,qij->ijyx", am_q, NvM))
-
-            self_add = interior * b_mm_int + dirich * b_mm_dir
-            nb_set = interior * b_mp_int
-            planes[0] = planes[0].at[:, :, k].add(self_add)
-            planes[s + 1] = planes[s + 1].at[:, :, k].add(nb_set)
-
-    return StencilBlockEll(jnp.stack(planes), plan.plan)
+    # family f = k*3 + s: self contributions sum over s into W0[:, :, k];
+    # neighbour contributions go to plane s+1 at subclass k
+    self_k = self_add.reshape(8, 3, nd, nd, KY, KX).sum(axis=1)  # [8,nd,nd,..]
+    w0 = w0 + jnp.moveaxis(self_k, 0, 2)
+    nb_k = nb_set.reshape(8, 3, nd, nd, KY, KX)
+    nb_planes = jnp.moveaxis(nb_k, (0, 1), (3, 0))  # [3, nd, nd, 8, KY, KX]
+    planes = jnp.concatenate([w0[None], nb_planes], axis=0)
+    return StencilBlockEll(planes, plan.plan)

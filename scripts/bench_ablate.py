@@ -33,10 +33,15 @@ def timed(tag, f, *args, n=5):
     out = f(*args)
     jax.block_until_ready(out)
     ts = []
-    for _ in range(n):
+    for k in range(n):
+        args2 = tuple(a * (1.0 + 1e-6 * (k + 1)) if hasattr(a, "dtype") else a
+                      for a in args)
+        for a in args2:
+            np.asarray(a)
         t0 = time.perf_counter()
-        out = f(*args)
-        jax.block_until_ready(out)
+        out = f(*args2)
+        # scalar fetch = reliable sync through the axon tunnel
+        float(np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0])
         ts.append(time.perf_counter() - t0)
     print(f"{tag:36s} {np.median(ts)*1e3:8.2f} ms", flush=True)
 

@@ -203,3 +203,36 @@ def test_coarse_bcr_on_spe10_coarse_operator(system):
     yt = np.linalg.solve(np.asarray(E, dtype=np.float64), np.asarray(r))
     y = np.asarray(_coarse_inverse_bcr(E, agg.mx, agg.my, newton_schulz=2)(r))
     np.testing.assert_allclose(y, yt, rtol=0, atol=2e-5 * np.abs(yt).max())
+
+
+def test_stencil_cg_solver_option():
+    """"stencil_cg" routes SWIPDG solves through the SoA plane layout on
+    structured grids and falls back to block_cg on unstructured ones.
+
+    mu components stay <= penalty_mu (= ones): the penalty-frozen scheme
+    loses coercivity for components above the reference parameter (the
+    frozen system at mu=(..,2.0) is measurably indefinite — CG-class
+    solvers are out of contract there; the reference's AMG/BiCGStab
+    options have the same caveat)."""
+    from dune_hdd_tpu.discretizations import SWIPDGDiscretization
+    from dune_hdd_tpu.grid.structured import rectangle_grid
+    from dune_hdd_tpu.problems import ThermalblockProblem
+
+    mu = {"diffusion_factor": jnp.array([0.1, 1.0, 0.5, 0.3])}
+    grid = alu_cube_grid((0, 0), (1, 1), (4, 4), refinements=2)
+    d = SWIPDGDiscretization(grid, {"type": "stuff.grid.boundaryinfo.alldirichlet"},
+                             ThermalblockProblem((2, 2)))
+    u = d.solve(mu, options={"type": "stencil_cg", "precision": 1e-12})
+    u_ref = d.solve(mu, options={"type": "direct"})
+    np.testing.assert_allclose(np.asarray(u), np.asarray(u_ref), atol=1e-8)
+    # with a tiling macro the deflation path engages
+    u2 = d.solve(mu, options={"type": "stencil_cg", "precision": 1e-12,
+                              "macro": (4, 4)})
+    np.testing.assert_allclose(np.asarray(u2), np.asarray(u_ref), atol=1e-8)
+    # unstructured (odd-bisection) grid: silent fallback to block_cg
+    g2 = rectangle_grid((0, 0), (1, 1), (5, 5), "quad")
+    d2 = SWIPDGDiscretization(g2, {"type": "stuff.grid.boundaryinfo.alldirichlet"},
+                              ThermalblockProblem((2, 2)))
+    u3 = d2.solve(mu, options={"type": "stencil_cg", "precision": 1e-12})
+    u3_ref = d2.solve(mu, options={"type": "direct"})
+    np.testing.assert_allclose(np.asarray(u3), np.asarray(u3_ref), atol=1e-7)

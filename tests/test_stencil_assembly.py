@@ -142,3 +142,16 @@ def test_matvec_equivalence_at_bisections4():
     y = np.asarray(S.matvec(X).reshape(-1)[jnp.asarray(from_g)])
     np.testing.assert_allclose(y, y_ref, rtol=0,
                                atol=1e-12 * np.abs(y_ref).max())
+
+
+def test_precomputed_coefficient_matches(setup):
+    """Host-precomputed static coefficient == in-trace evaluation."""
+    from dune_hdd_tpu.la.stencil_assembly import precompute_coefficient
+
+    grid, binfo, space, order, dfac, field = setup
+    plan = build_structured_assembly(grid, order, binfo, side_eps=1e-7)
+    cf = _cell_field_soa(grid, order, field)
+    pre = precompute_coefficient(plan, dfac, dtype=np.float64)
+    S1 = assemble_structured_spe10(plan, dfac, cf, dtype=jnp.float64)
+    S2 = assemble_structured_spe10(plan, pre, cf, dtype=jnp.float64)
+    np.testing.assert_array_equal(np.asarray(S1.planes), np.asarray(S2.planes))
