@@ -26,7 +26,7 @@ def main():
         jax.config.update("jax_enable_x64", True)
         result = run_spe10_bench(
             bisections=bisections, repeats=repeats, tol=1e-6,
-            preconditioner=os.environ.get("BENCH_PRECONDITIONER", "stencil"),
+            preconditioner=os.environ.get("BENCH_PRECONDITIONER", "stencil2"),
         )
         metric = "spe10_swipdg_assemble_solve_to_1e-6"
     else:
@@ -44,6 +44,32 @@ def main():
         "residual": result["residual"],
         "platform": jax.devices()[0].platform,
     }
+    # diagnostic: the axon tunnel adds a fixed ~30 ms host<->device round
+    # trip to every synced execution (measured via a trivial program +
+    # scalar fetch); report it so the wall number can be interpreted —
+    # "value" stays the honest wall-clock metric
+    try:
+        import time as _time
+
+        import jax.numpy as jnp
+
+        f = jax.jit(lambda x: (x * 1.0001).sum())
+        x = jnp.ones((8, 128))
+        float(f(x))
+        ts = []
+        for k in range(5):
+            xk = x * (1.0 + 1e-6 * k)
+            t0 = _time.perf_counter()
+            float(f(xk))
+            ts.append(_time.perf_counter() - t0)
+        import numpy as _np
+
+        rtt = float(_np.median(ts))
+        out["dispatch_rtt_ms"] = round(rtt * 1e3, 1)
+        out["mdof_per_s_rtt_corrected"] = round(
+            result["num_dofs"] / max(result["seconds"] - rtt, 1e-9) / 1e6, 3)
+    except Exception:  # noqa: BLE001 - diagnostics must never break the bench
+        pass
     print(json.dumps(out))
 
 

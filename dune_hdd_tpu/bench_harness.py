@@ -217,19 +217,33 @@ def build_spe10_bench(bisections: int = 4, maxiter: int = 300,
         dfac_pre = precompute_coefficient(splan, diffusion_factor)
         from .la.stencil_assembly import geometric_soa_maps
         _to_soa_g, _from_soa_g = geometric_soa_maps(order, splan)
-        # cell-constant permeability in SoA order: macro id per cell (static)
+        # cell-constant permeability in SoA order.  A gather of 64k macro
+        # ids takes ~36 ms on this chip (serialized TPU gather) — but the
+        # macro grid tiles the lattice, so the lookup is a pure broadcast:
+        # cf[k, iy, ix] = field[ix // fx, iy // fy].
+        fy, fx = KY // MODEL1_NZ, KX // MODEL1_NX
         cent = grid.cell_centroids
         ij_cell = np.clip(
             (cent / np.array([5.0, 1.0]) * np.array([MODEL1_NX, MODEL1_NZ]))
             .astype(np.int64), 0, np.array([MODEL1_NX - 1, MODEL1_NZ - 1]))
         ij_soa = ij_cell[np.asarray(order.inv)].reshape(8, KY, KX, 2)
-        ij_soa = jnp.asarray(ij_soa)
+        # verify the broadcast layout against the centroid binning (host)
+        iyg, ixg = np.meshgrid(np.arange(KY), np.arange(KX), indexing="ij")
+        assert (ij_soa[..., 0] == (ixg // fx)[None]).all()
+        assert (ij_soa[..., 1] == (iyg // fy)[None]).all()
+
+        def _broadcast_field(f32field):
+            ft = f32field.T  # [NZ(y), NX(x)]
+            cf2d = jnp.broadcast_to(
+                ft[:, None, :, None], (MODEL1_NZ, fy, MODEL1_NX, fx)
+            ).reshape(KY, KX)
+            return jnp.broadcast_to(cf2d[None], (8, KY, KX))
 
         @jax.jit
         def fused_structured(field):
             with jax.enable_x64(False), jax.default_matmul_precision("highest"):
                 f32field = field.astype(jnp.float32)
-                cf = f32field[ij_soa[..., 0], ij_soa[..., 1]]
+                cf = _broadcast_field(f32field)
                 S = assemble_structured_spe10(splan, dfac_pre, cf)
                 B = structured_rhs(splan, force)
                 S, B, s = scale_planes(S, B)
