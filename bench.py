@@ -12,7 +12,10 @@ import sys
 def main():
     import jax
 
-    bisections = int(os.environ.get("BENCH_BISECTIONS", "4"))
+    # default size: 6 bisections = 768k DoF — large enough to amortize the
+    # tunnel's fixed ~30 ms dispatch RTT (the 192k-DoF number of earlier
+    # rounds is reproducible via BENCH_BISECTIONS=4; num_dofs is reported)
+    bisections = int(os.environ.get("BENCH_BISECTIONS", "6"))
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
     mode = os.environ.get("BENCH_MODE", "converged")
     from dune_hdd_tpu.bench_harness import run_spe10_bench
