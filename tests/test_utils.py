@@ -96,3 +96,30 @@ def test_write_vtu_p2(tmp_path):
             r'Name="connectivity" format="ascii">\s*([\d ]+)', text
         ).group(1).split()
         assert len(conn) == g.num_cells * 6
+
+
+def test_profiler_trace_and_annotations(tmp_path):
+    """utils/profiling.py: jax.profiler trace capture writes a trace dir;
+    annotate() lands in the phase registry; profile_report() aggregates."""
+    import jax
+    import jax.numpy as jnp
+
+    from dune_hdd_tpu.utils.logging import reset_timings, timings
+    from dune_hdd_tpu.utils.profiling import annotate, profile_report, trace
+
+    reset_timings()
+    logdir = str(tmp_path / "trace")
+    f = jax.jit(lambda x: (x * 2.0).sum())
+    with trace(logdir):
+        with annotate("hot_phase"):
+            float(f(jnp.ones((64, 64))))
+    import os
+
+    found = []
+    for root, dirs, files in os.walk(logdir):
+        found += [fn for fn in files if fn.endswith((".pb", ".json.gz", ".xplane.pb"))]
+    assert found, "no trace artifacts written"
+    assert "hot_phase" in timings()
+    rep = profile_report(reset=True)
+    assert "hot_phase" in rep and "calls" in rep
+    assert timings() == {}
