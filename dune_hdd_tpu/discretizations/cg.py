@@ -68,7 +68,22 @@ class CGDiscretization(StationaryDiscretization):
 
         # nodal structure: vertices (order 1) or vertices + edge midpoints
         # (order 2); the dirichlet mask covers all boundary nodal dofs
-        if order == 2:
+        if order == 3:
+            # P3: 2 edge dofs per face in CANONICAL (ascending global vertex
+            # id) order + interior cell bubbles
+            fv = np.sort(grid.faces.astype(np.int64), axis=1)
+            vmin, vmax = grid.vertices[fv[:, 0]], grid.vertices[fv[:, 1]]
+            edge_pts = np.stack(
+                [(2 * vmin + vmax) / 3.0, (vmin + 2 * vmax) / 3.0], axis=1
+            ).reshape(-1, 2)
+            dir_vert = np.concatenate([
+                boundary_info.dirichlet_vertices,
+                np.repeat(boundary_info.dirichlet_faces, 2),
+                np.zeros(grid.num_cells, dtype=bool),
+            ])
+            nodal_points = jnp.asarray(np.concatenate(
+                [grid.vertices, edge_pts, grid.cell_centroids], axis=0))
+        elif order == 2:
             parts_mask = [boundary_info.dirichlet_vertices,
                           boundary_info.dirichlet_faces]
             parts_pts = [grid.vertices, grid.face_centroids]

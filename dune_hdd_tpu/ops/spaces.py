@@ -32,8 +32,10 @@ class Space:
     # which the SGrid expectation tables were recorded with)
 
     def __post_init__(self):
-        if self.order not in (1, 2):
-            raise NotImplementedError("orders 1 and 2 implemented")
+        if self.order not in (1, 2, 3):
+            raise NotImplementedError("orders 1-3 implemented")
+        if self.order == 3 and self.grid.cell_type != TRIANGLE:
+            raise NotImplementedError("order 3 is triangle-only")
         if self.basis == "p1" and (self.continuous or self.order != 1):
             raise ValueError("monomial p1 basis is order-1 DG-only")
 
@@ -42,6 +44,8 @@ class Space:
         """Local shape functions per cell."""
         if self.basis == "p1":
             return 3
+        if self.order == 3:
+            return 10  # P3 triangle: 3 vertices + 2 per edge + center
         if self.order == 2:
             if self.grid.cell_type == TRIANGLE:
                 return 6  # P2 triangle: 3 vertices + 3 edge midpoints
@@ -51,6 +55,9 @@ class Space:
     @property
     def num_dofs(self) -> int:
         if self.continuous:
+            if self.order == 3:
+                return (self.grid.num_vertices + 2 * self.grid.num_faces
+                        + self.grid.num_cells)
             if self.order == 2:
                 n = self.grid.num_vertices + self.grid.num_faces
                 if self.grid.cell_type == QUAD:
@@ -65,8 +72,25 @@ class Space:
 
         P2 local node order: (v0, v1, v2, e01, e12, e20) — edge nodes follow
         the local face numbering (f0=(v0,v1), f1=(v1,v2), f2=(v2,v0)).
-        Q2 adds the cell-center node last: (v0..v3, e0..e3, c)."""
+        Q2 adds the cell-center node last: (v0..v3, e0..e3, c).
+        P3: (v0, v1, v2, e01a, e01b, e12a, e12b, e20a, e20b, c) — edge node
+        "a" sits at 2/3 of the LOCAL first vertex; the GLOBAL dof of each
+        edge slot absorbs the edge orientation (canonical = ascending global
+        vertex id), so shared edges are conforming."""
         if self.continuous:
+            if self.order == 3:
+                nv, nf = self.grid.num_vertices, self.grid.num_faces
+                cells = self.grid.cells.astype(np.int64)
+                nc = self.grid.num_cells
+                out = np.empty((nc, 10), dtype=np.int64)
+                out[:, :3] = cells
+                for kf, (i, j) in enumerate(((0, 1), (1, 2), (2, 0))):
+                    f = self.grid.cell_faces[:, kf].astype(np.int64)
+                    fwd = cells[:, i] < cells[:, j]  # local dir == canonical
+                    out[:, 3 + 2 * kf] = nv + 2 * f + np.where(fwd, 0, 1)
+                    out[:, 4 + 2 * kf] = nv + 2 * f + np.where(fwd, 1, 0)
+                out[:, 9] = nv + 2 * nf + np.arange(nc)
+                return out.astype(np.int32)
             if self.order == 2:
                 edge = self.grid.num_vertices + self.grid.cell_faces.astype(np.int64)
                 parts = [self.grid.cells.astype(np.int64), edge]
@@ -90,6 +114,13 @@ class Space:
             raise NotImplementedError("monomial basis has no nodal points")
         if self.order == 1:
             return v
+        if self.order == 3:
+            vn = np.roll(v, -1, axis=1)
+            a = (2.0 * v + vn) / 3.0   # e_a per local face
+            b = (v + 2.0 * vn) / 3.0   # e_b
+            edge = np.stack([a, b], axis=2).reshape(v.shape[0], 6, 2)
+            return np.concatenate(
+                [v, edge, v.mean(axis=1, keepdims=True)], axis=1)
         mid = 0.5 * (v + np.roll(v, -1, axis=1))  # face midpoints
         parts = [v, mid]
         if self.grid.cell_type == QUAD:
@@ -104,6 +135,8 @@ class Space:
             return _p1_monomial_values(cellverts, x)
         if self.grid.cell_type == TRIANGLE:
             lam = _tri_shape_values(cellverts, x)
+            if self.order == 3:
+                return _tri_p3_values(lam)
             if self.order == 2:
                 return _tri_p2_values(lam)
             return lam
@@ -117,6 +150,9 @@ class Space:
             return _p1_monomial_grads(cellverts, x)
         if self.grid.cell_type == TRIANGLE:
             g = _tri_shape_grads(cellverts)  # [..., 3, 2], constant in x
+            if self.order == 3:
+                lam = _tri_shape_values(cellverts, x)
+                return _tri_p3_grads(lam, g)
             if self.order == 2:
                 lam = _tri_shape_values(cellverts, x)
                 return _tri_p2_grads(lam, g)
@@ -207,6 +243,39 @@ def _tri_p2_grads(lam, g):
     e20 = 4 * (l2 * g0 + l0 * g2)
     edges = jnp.stack([e01, e12, e20], axis=-2)
     return jnp.concatenate([vertex, edges], axis=-2)
+
+
+def _tri_p3_values(lam):
+    """P3 basis from barycentric coordinates lam [..., k, 3], node order
+    (v0, v1, v2, e01a, e01b, e12a, e12b, e20a, e20b, c) with e_{ij}a at
+    2/3 v_i + 1/3 v_j:  vertex i: l_i(3l_i-1)(3l_i-2)/2;
+    e_{ij}a: 9/2 l_i l_j (3l_i-1); e_{ij}b: 9/2 l_i l_j (3l_j-1);
+    center: 27 l0 l1 l2."""
+    l = [lam[..., i] for i in range(3)]
+    out = [li * (3 * li - 1) * (3 * li - 2) / 2 for li in l]
+    for i, j in ((0, 1), (1, 2), (2, 0)):
+        out.append(4.5 * l[i] * l[j] * (3 * l[i] - 1))
+        out.append(4.5 * l[i] * l[j] * (3 * l[j] - 1))
+    out.append(27.0 * l[0] * l[1] * l[2])
+    return jnp.stack(out, axis=-1)
+
+
+def _tri_p3_grads(lam, g):
+    """P3 physical gradients: lam [..., k, 3], g [..., 3, 2] -> [..., k, 10, 2]."""
+    gb = g[..., None, :, :]  # [..., 1, 3, 2]
+    l = [lam[..., i, None] for i in range(3)]  # each [..., k, 1]
+    gi = [gb[..., i, :] for i in range(3)]     # each [..., 1|k, 2]
+    out = []
+    for i in range(3):
+        out.append(((27 * l[i] * l[i] - 18 * l[i] + 2) / 2) * gi[i])
+    for i, j in ((0, 1), (1, 2), (2, 0)):
+        out.append(4.5 * (l[j] * (6 * l[i] - 1) * gi[i]
+                          + l[i] * (3 * l[i] - 1) * gi[j]))
+        out.append(4.5 * (l[j] * (3 * l[j] - 1) * gi[i]
+                          + l[i] * (6 * l[j] - 1) * gi[j]))
+    out.append(27.0 * (l[1] * l[2] * gi[0] + l[0] * l[2] * gi[1]
+                       + l[0] * l[1] * gi[2]))
+    return jnp.stack(out, axis=-2)
 
 
 def _p1_monomial_values(cellverts, x):

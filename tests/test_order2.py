@@ -157,3 +157,53 @@ def test_rt1_divergence_matches_p1_force_projection():
         res = jnp.einsum("ck,ck,ck->c", qw, f - div, mom)
         scale = jnp.einsum("ck,ck->c", qw, jnp.abs(f) + jnp.abs(div)) + 1e-30
         assert float(jnp.max(jnp.abs(res) / scale)) < 1e-8
+
+
+def test_p3_space_structure():
+    g = rectangle_grid((0, 0), (1, 1), (2, 2), "triangle")
+    s = cg_space(g, 3)
+    assert s.shape_count == 10
+    assert s.num_dofs == g.num_vertices + 2 * g.num_faces + g.num_cells
+    d = dg_space(g, 3)
+    assert d.num_dofs == g.num_cells * 10
+    import jax.numpy as jnp
+
+    pts = jnp.asarray(s.nodal_points)
+    vals = s.shape_values(jnp.asarray(g.cell_vertices), pts)  # [NC, 10, 10]
+    np.testing.assert_allclose(np.asarray(vals.sum(-1)), 1.0, atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(vals), np.broadcast_to(np.eye(10), vals.shape), atol=1e-12
+    )
+    # CG conformity: the two cells sharing a face assign the same global
+    # dofs to the same PHYSICAL points (edge orientation absorbed)
+    cd = s.cell_dofs
+    npnts = s.nodal_points
+    pos = {}
+    for c in range(g.num_cells):
+        for sl in range(10):
+            dof = int(cd[c, sl])
+            p = tuple(np.round(npnts[c, sl], 12))
+            assert pos.setdefault(dof, p) == p, (dof, pos[dof], p)
+
+
+@pytest.mark.parametrize("disc_cls", [CGDiscretization, SWIPDGDiscretization])
+def test_p3_esv2007_eoc(disc_cls):
+    """P3 (cubic) triangles: EOC {4, 3} — the reference templates arbitrary
+    polOrder (cg.hh:95); sigma constants for p3 are in ops/swipdg.py."""
+    problem, exact = ESV2007Problem(), Testcase1ExactSolution()
+    errors = []
+    grid = rectangle_grid((-1, -1), (1, 1), (4, 4), "triangle")
+    for _ in range(3):
+        d = disc_cls(grid, ALL_DIRICHLET, problem, order=3)
+        if disc_cls is CGDiscretization:
+            u = d.solve_with_dirichlet_shift(options={"type": "direct"})
+        else:
+            u = d.solve(options={"type": "direct"})
+        errors.append(error_norms(d.space, u, exact))
+        grid, _ = refine(grid)
+    l2 = [e["L2"] for e in errors]
+    h1 = [e["H1_semi"] for e in errors]
+    eoc_l2 = [np.log2(l2[i] / l2[i + 1]) for i in range(2)]
+    eoc_h1 = [np.log2(h1[i] / h1[i + 1]) for i in range(2)]
+    assert all(r > 3.7 for r in eoc_l2), (l2, eoc_l2)
+    assert all(r > 2.8 for r in eoc_h1), (h1, eoc_h1)
