@@ -47,6 +47,32 @@ if __name__ == "__main__":
             run("stencil+cheb2", "stencil", BENCH_SMOOTHER="cheb2")
         elif c == "stencil2":
             run("stencil2(direct-asm)", "stencil2", BENCH_SMOOTHER="jacobi")
+        elif c == "stencil2-ns2":
+            run("stencil2 NS=2", "stencil2", BENCH_SMOOTHER="jacobi", BENCH_NS=2)
+        elif c == "stencil2-cheb2":
+            run("stencil2 cheb2", "stencil2", BENCH_SMOOTHER="cheb2")
+        elif c == "stencil2-unroll8":
+            run("stencil2 unroll8", "stencil2", BENCH_SMOOTHER="jacobi", BENCH_UNROLL=8)
+        elif c == "stencil2-best":
+            run("stencil2 NS2+u8", "stencil2", BENCH_SMOOTHER="jacobi",
+                BENCH_NS=2, BENCH_UNROLL=8)
+        elif c == "stencil2-ns1":
+            run("stencil2 NS1+u8", "stencil2", BENCH_SMOOTHER="jacobi",
+                BENCH_NS=1, BENCH_UNROLL=8)
+        elif c == "stencil2-u12":
+            run("stencil2 NS2+u12", "stencil2", BENCH_SMOOTHER="jacobi",
+                BENCH_NS=2, BENCH_UNROLL=12)
+        elif c == "stencil2-cheb2best":
+            run("stencil2 cheb2+NS2+u8", "stencil2", BENCH_SMOOTHER="cheb2",
+                BENCH_NS=2, BENCH_UNROLL=8)
+        elif c == "stencil2-m50":
+            run("stencil2 macro 50x10", "stencil2", BENCH_SMOOTHER="jacobi",
+                BENCH_NS=2, BENCH_UNROLL=8, BENCH_MACRO="50,10")
+        elif c == "stencil2-m25":
+            run("stencil2 macro 25x5", "stencil2", BENCH_SMOOTHER="jacobi",
+                BENCH_NS=2, BENCH_UNROLL=8, BENCH_MACRO="25,5")
+        elif c == "stencil2-inner250":
+            run("stencil2 inner250", "stencil2", BENCH_SMOOTHER="jacobi", BENCH_INNER=250)
         elif c == "stencil-cheb3":
             run("stencil+cheb3", "stencil", BENCH_SMOOTHER="cheb3")
         elif c.startswith("stencil-inner"):
