@@ -16,7 +16,7 @@ def main():
     # tunnel's fixed ~30 ms dispatch RTT (the 192k-DoF number of earlier
     # rounds is reproducible via BENCH_BISECTIONS=4; num_dofs is reported)
     bisections = int(os.environ.get("BENCH_BISECTIONS", "6"))
-    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
+    repeats = int(os.environ.get("BENCH_REPEATS", "5"))
     mode = os.environ.get("BENCH_MODE", "converged")
     from dune_hdd_tpu.bench_harness import run_spe10_bench
 
