@@ -15,7 +15,8 @@ import numpy as np
 
 __all__ = ["write_vtu", "write_cell_data_vtu"]
 
-_VTK_TYPE = {"triangle": 5, "quad": 9, "triangle6": 22}
+_VTK_TYPE = {"triangle": 5, "quad": 9, "triangle6": 22,
+             "biquad_quad9": 28, "lagrange_tri10": 69}
 
 
 def _vtu_xml(points: np.ndarray, cells: np.ndarray, cell_type: str,
@@ -69,23 +70,34 @@ def write_vtu(space, dof_values: np.ndarray, filename: str, name: str = "solutio
     if not filename.endswith(".vtu"):
         filename = filename + ".vtu"
     dof_values = np.asarray(dof_values)
-    if getattr(space, "order", 1) == 2:
+    order = getattr(space, "order", 1)
+    if order == 2 and grid.cell_type == "triangle" and space.continuous:
         # VTK quadratic triangles (type 22): corner nodes then edge
         # midpoints (0-1), (1-2), (2-0) — exactly our P2 local ordering
         # (v0, v1, v2, e01, e12, e20)
-        if space.continuous:
-            mids = 0.5 * (grid.vertices[grid.faces[:, 0]]
-                          + grid.vertices[grid.faces[:, 1]])
-            points = np.concatenate([grid.vertices, mids])
-            cells = np.concatenate(
-                [grid.cells, grid.num_vertices + grid.cell_faces], axis=1
-            ).astype(np.int64)
-            xml = _vtu_xml(points, cells, "triangle6", {name: dof_values}, {})
-        else:
-            points = np.asarray(space.nodal_points).reshape(-1, 2)
-            cells = np.arange(grid.num_cells * 6).reshape(-1, 6)
-            vals = dof_values[space.cell_dofs.ravel()]
-            xml = _vtu_xml(points, cells, "triangle6", {name: vals}, {})
+        mids = 0.5 * (grid.vertices[grid.faces[:, 0]]
+                      + grid.vertices[grid.faces[:, 1]])
+        points = np.concatenate([grid.vertices, mids])
+        cells = np.concatenate(
+            [grid.cells, grid.num_vertices + grid.cell_faces], axis=1
+        ).astype(np.int64)
+        xml = _vtu_xml(points, cells, "triangle6", {name: dof_values}, {})
+    elif order > 1:
+        # generic high-order path (CG or DG): duplicated nodal points per
+        # cell; the nodal orderings match the VTK conventions —
+        # P2 triangle -> type 22, Q2 quad (corners, edges, center) -> 28,
+        # P3 triangle (vertices, 2 per edge along the edge, interior) ->
+        # Lagrange triangle 69
+        vtk_kind = {
+            ("triangle", 2): "triangle6",
+            ("quad", 2): "biquad_quad9",
+            ("triangle", 3): "lagrange_tri10",
+        }[(grid.cell_type, order)]
+        nd = space.shape_count
+        points = np.asarray(space.nodal_points).reshape(-1, 2)
+        cells = np.arange(grid.num_cells * nd).reshape(-1, nd)
+        vals = dof_values[space.cell_dofs.ravel()]
+        xml = _vtu_xml(points, cells, vtk_kind, {name: vals}, {})
     elif space.continuous:
         xml = _vtu_xml(grid.vertices, grid.cells, grid.cell_type,
                        {name: dof_values}, {})

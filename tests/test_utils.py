@@ -123,3 +123,27 @@ def test_profiler_trace_and_annotations(tmp_path):
     rep = profile_report(reset=True)
     assert "hot_phase" in rep and "calls" in rep
     assert timings() == {}
+
+
+def test_vtu_high_order_types(tmp_path):
+    """write_vtu handles P2/Q2/P3 spaces (quadratic triangle 22,
+    biquadratic quad 28, Lagrange triangle 69) without crashing and with
+    matching point/value counts."""
+    import numpy as np
+
+    from dune_hdd_tpu.grid import rectangle_grid
+    from dune_hdd_tpu.ops.spaces import cg_space, dg_space
+    from dune_hdd_tpu.utils.vtk import write_vtu
+
+    cases = [
+        (rectangle_grid((0, 0), (1, 1), (2, 2), "triangle"), 2),
+        (rectangle_grid((0, 0), (1, 1), (2, 2), "quad"), 2),
+        (rectangle_grid((0, 0), (1, 1), (2, 2), "triangle"), 3),
+    ]
+    for i, (g, order) in enumerate(cases):
+        for mk in (cg_space, dg_space):
+            s = mk(g, order)
+            u = np.arange(s.num_dofs, dtype=float)
+            path = write_vtu(s, u, str(tmp_path / f"ho_{i}_{mk.__name__}"))
+            txt = open(path).read()
+            assert "UnstructuredGrid" in txt
