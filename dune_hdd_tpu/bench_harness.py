@@ -244,7 +244,9 @@ def build_spe10_bench(bisections: int = 4, maxiter: int = 300,
             with jax.enable_x64(False), jax.default_matmul_precision("highest"):
                 f32field = field.astype(jnp.float32)
                 cf = _broadcast_field(f32field)
-                S = assemble_structured_spe10(splan, dfac_pre, cf)
+                S = assemble_structured_spe10(
+                    splan, dfac_pre, cf,
+                    family_chunks=int(os.environ.get("BENCH_CHUNKS", "1")))
                 B = structured_rhs(splan, force)
                 S, B, s = scale_planes(S, B)
                 sm = None

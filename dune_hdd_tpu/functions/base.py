@@ -163,7 +163,14 @@ class IndicatorFunction(Function):
         # puts sizes 105/2 in the (sub)lane dims — 60x lane waste on TPU.
         # Here every compare array is [K, ...points] (points dense in lanes)
         # and the weighted count is one [K] x [K, N] contraction.
-        x0, x1 = x[..., 0], x[..., 1]
+        # ``x`` may also be a (x0, x1) coordinate-plane tuple: a trailing
+        # size-2 axis pads to 128 lanes on TPU (a [.., 2] coordinate
+        # constant at 3M DoF inflated 98 MB -> 6.3 GB of HBM), so hot
+        # callers pass the planes separately.
+        if isinstance(x, tuple):
+            x0, x1 = x
+        else:
+            x0, x1 = x[..., 0], x[..., 1]
         sh = (-1,) + (1,) * x0.ndim
         lo0 = self.lowers[:, 0].reshape(sh)
         lo1 = self.lowers[:, 1].reshape(sh)
@@ -171,7 +178,7 @@ class IndicatorFunction(Function):
         up1 = self.uppers[:, 1].reshape(sh)
         inside = ((x0[None] >= lo0) & (x0[None] < up0)
                   & (x1[None] >= lo1) & (x1[None] < up1))
-        vals = self.values.astype(jnp.result_type(x.dtype, self.values.dtype))
+        vals = self.values.astype(jnp.result_type(x0.dtype, self.values.dtype))
         return jnp.tensordot(vals, inside.astype(vals.dtype), axes=([0], [0]))
 
 

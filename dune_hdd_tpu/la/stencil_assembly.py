@@ -294,20 +294,42 @@ class PrecomputedCoefficient(NamedTuple):
 
 def precompute_coefficient(plan: StructuredAssemblyPlan, lam_fn,
                            dtype=np.float32) -> PrecomputedCoefficient:
+    """Evaluate pinned to the HOST CPU backend: the eager evaluation of a
+    many-box indicator at millions of points materializes [K, N]
+    intermediates that exceed TPU HBM at multi-million-DoF lattices (the
+    3M-DoF OOM was THIS setup step, not the solver)."""
+    import jax as _jax
+
     fams = [plan.families[k][s] for k in range(8) for s in range(3)]
-    a_vol = np.asarray(lam_fn(jnp.asarray(plan.vol_qp)), dtype=dtype)
-    lam_m = np.asarray(
-        lam_fn(jnp.asarray(np.stack([f.qp_m for f in fams]))), dtype=dtype)
-    lam_p = np.asarray(
-        lam_fn(jnp.asarray(np.stack([f.qp_p for f in fams]))), dtype=dtype)
+    try:
+        cpu = _jax.local_devices(backend="cpu")[0]
+        ctx = _jax.default_device(cpu)
+    except RuntimeError:  # no cpu backend registered
+        from contextlib import nullcontext
+
+        ctx = nullcontext()
+    with ctx:
+        a_vol = np.asarray(lam_fn(jnp.asarray(plan.vol_qp)), dtype=dtype)
+        lam_m = np.asarray(
+            lam_fn(jnp.asarray(np.stack([f.qp_m for f in fams]))), dtype=dtype)
+        lam_p = np.asarray(
+            lam_fn(jnp.asarray(np.stack([f.qp_p for f in fams]))), dtype=dtype)
     return PrecomputedCoefficient(a_vol, lam_m, lam_p)
 
 
 def structured_rhs(plan: StructuredAssemblyPlan, force_fn,
                    dtype=jnp.float32) -> jnp.ndarray:
     """SoA rhs [nd, 8, KY, KX]: B[i] = sum_q f(qp_q) qw_q phi_i(qp_q).
-    Valid when the force quadrature order <= the plan's volume order."""
-    f = force_fn(jnp.asarray(plan.vol_qp, dtype=dtype))  # [kq, 8, KY, KX]
+    Valid when the force quadrature order <= the plan's volume order.
+    Coordinates enter as separate x/y planes (host-side slices): a single
+    [..., 2] coordinate constant pads its trailing axis to 128 lanes on
+    TPU — 64x HBM inflation, the OOM at 3M DoF."""
+    x0 = jnp.asarray(plan.vol_qp[..., 0], dtype=dtype)
+    x1 = jnp.asarray(plan.vol_qp[..., 1], dtype=dtype)
+    try:
+        f = force_fn((x0, x1))  # [kq, 8, KY, KX]
+    except (TypeError, AttributeError, IndexError):
+        f = force_fn(jnp.asarray(plan.vol_qp, dtype=dtype))
     wv = jnp.asarray(plan.vol_wvals, dtype=dtype)        # [8, kq, nd]
     return jnp.einsum("qkyx,kqi->ikyx", f, wv)
 
@@ -329,7 +351,8 @@ def scale_planes(S: StencilBlockEll, B: jnp.ndarray):
 
 def assemble_structured_spe10(plan: StructuredAssemblyPlan, lam_fn,
                               cell_field: Optional[jnp.ndarray] = None,
-                              dtype=jnp.float32) -> StencilBlockEll:
+                              dtype=jnp.float32,
+                              family_chunks: int = 1) -> StencilBlockEll:
     """Assemble the SWIPDG operator into planes.
 
     ``lam_fn``: scalar coefficient evaluated at quadrature points (may vary
@@ -347,16 +370,9 @@ def assemble_structured_spe10(plan: StructuredAssemblyPlan, lam_fn,
     fams = [plan.families[k][s] for k in range(8) for s in range(3)]
     F = len(fams)  # 24
 
-    if isinstance(lam_fn, PrecomputedCoefficient):
-        a_vol = jnp.asarray(lam_fn.a_vol, dtype=dtype)
-        a_m = jnp.asarray(lam_fn.lam_m, dtype=dtype)
-        a_p = jnp.asarray(lam_fn.lam_p, dtype=dtype)
-    else:
-        a_vol = lam_fn(jnp.asarray(plan.vol_qp, dtype=dtype))
-        qp_m = jnp.asarray(np.stack([f.qp_m for f in fams]), dtype=dtype)
-        qp_p = jnp.asarray(np.stack([f.qp_p for f in fams]), dtype=dtype)
-        a_m = lam_fn(qp_m)  # [F, kq, KY, KX]
-        a_p = lam_fn(qp_p)
+    pre = lam_fn if isinstance(lam_fn, PrecomputedCoefficient) else None
+    a_vol = (jnp.asarray(pre.a_vol, dtype=dtype) if pre is not None
+             else lam_fn(jnp.asarray(plan.vol_qp, dtype=dtype)))
 
     # --- volume ---
     if cell_field is not None:
@@ -364,63 +380,91 @@ def assemble_structured_spe10(plan: StructuredAssemblyPlan, lam_fn,
     volG = jnp.asarray(plan.vol_G, dtype=dtype)  # [8, kq, nd, nd]
     w0 = jnp.einsum("qkyx,kqij->ijkyx", a_vol, volG)
 
-    # --- faces, fully stacked over families ---
-    if cell_field is not None:
-        own = cell_field[np.array([k for k in range(8) for _ in range(3)])]
-        a_m = a_m * own[:, None]
-        nb = jnp.stack([
-            jnp.roll(cell_field[f.k_src], shift=(-f.dy, -f.dx), axis=(0, 1))
-            for f in fams])
-        a_p = a_p * nb[:, None]
-    qw = jnp.asarray(np.stack([f.qw for f in fams]), dtype=dtype)  # [F, kq]
-    hb = np.array([f.h ** plan.beta for f in fams])
-    interior = jnp.asarray(np.stack([f.interior for f in fams]), dtype=dtype)
-    dirich = jnp.asarray(np.stack([f.dirichlet for f in fams]), dtype=dtype)
-    vals_m = np.stack([f.vals_m for f in fams])   # [F, kq, nd]
-    vals_p = np.stack([f.vals_p for f in fams])
-    nfm = np.stack([f.nflux_m for f in fams])     # [F, nd]
-    nfp = np.stack([f.nflux_p for f in fams])
+    # --- faces, stacked over families in ``family_chunks`` groups (the
+    # fully-stacked einsums peak at several [F, nd, nd, KY, KX] temporaries,
+    # which exceeds HBM at multi-million-DoF lattices; chunking divides the
+    # peak without reintroducing the ~1000-tiny-kernel launch overhead) ---
+    nb_planes = jnp.zeros((3, nd, nd, 8, KY, KX), dtype=dtype)
+    n_chunks = max(1, int(family_chunks))
+    bounds = np.linspace(0, F, n_chunks + 1).astype(int)
+    for c0, c1 in zip(bounds[:-1], bounds[1:]):
+        chunk = list(range(int(c0), int(c1)))
+        if not chunk:
+            continue
+        cf_list = [fams[f] for f in chunk]
+        if pre is not None:
+            a_m = jnp.asarray(pre.lam_m[chunk], dtype=dtype)
+            a_p = jnp.asarray(pre.lam_p[chunk], dtype=dtype)
+        else:
+            a_m = lam_fn(jnp.asarray(
+                np.stack([f.qp_m for f in cf_list]), dtype=dtype))
+            a_p = lam_fn(jnp.asarray(
+                np.stack([f.qp_p for f in cf_list]), dtype=dtype))
+        if cell_field is not None:
+            own = cell_field[np.array([f // 3 for f in chunk])]
+            a_m = a_m * own[:, None]
+            nb = jnp.stack([
+                jnp.roll(cell_field[f.k_src], shift=(-f.dy, -f.dx),
+                         axis=(0, 1)) for f in cf_list])
+            a_p = a_p * nb[:, None]
+        qw = jnp.asarray(np.stack([f.qw for f in cf_list]), dtype=dtype)
+        hb = np.array([f.h ** plan.beta for f in cf_list])
+        interior = jnp.asarray(
+            np.stack([f.interior for f in cf_list]), dtype=dtype)
+        dirich = jnp.asarray(
+            np.stack([f.dirichlet for f in cf_list]), dtype=dtype)
+        vals_m = np.stack([f.vals_m for f in cf_list])   # [Fc, kq, nd]
+        vals_p = np.stack([f.vals_p for f in cf_list])
+        nfm = np.stack([f.nflux_m for f in cf_list])     # [Fc, nd]
+        nfp = np.stack([f.nflux_p for f in cf_list])
 
-    # side quantities (kappa = a * I): delta = a, flux_i = a * nflux_i
-    denom = a_m + a_p
-    zero = denom == 0
-    safe = jnp.where(zero, 1.0, denom)
-    w_m = jnp.where(zero, 0.5, a_p / safe)
-    gamma = jnp.where(zero, 0.0, a_m * a_p / safe)
-    inv_hb = jnp.asarray(1.0 / hb, dtype=dtype)[:, None, None, None]
-    pen_q = qw[..., None, None] * (plan.sigma_i * gamma * inv_hb)
-    wam_q = qw[..., None, None] * (w_m * a_m)
-    wap_q = qw[..., None, None] * ((1.0 - w_m) * a_p)
-    penb_q = qw[..., None, None] * (plan.sigma_b * a_m * inv_hb)
-    am_q = qw[..., None, None] * a_m
+        # side quantities (kappa = a*I): delta = a, flux_i = a * nflux_i
+        denom = a_m + a_p
+        zero = denom == 0
+        safe = jnp.where(zero, 1.0, denom)
+        w_m = jnp.where(zero, 0.5, a_p / safe)
+        gamma = jnp.where(zero, 0.0, a_m * a_p / safe)
+        inv_hb = jnp.asarray(1.0 / hb, dtype=dtype)[:, None, None, None]
+        pen_q = qw[..., None, None] * (plan.sigma_i * gamma * inv_hb)
+        wam_q = qw[..., None, None] * (w_m * a_m)
+        wap_q = qw[..., None, None] * ((1.0 - w_m) * a_p)
+        penb_q = qw[..., None, None] * (plan.sigma_b * a_m * inv_hb)
+        am_q = qw[..., None, None] * a_m
 
-    # per-family constant tensors [F, kq, nd, nd]
-    PenMM = jnp.asarray(np.einsum("fqi,fqj->fqij", vals_m, vals_m), dtype=dtype)
-    PenMP = jnp.asarray(np.einsum("fqi,fqj->fqij", vals_m, vals_p), dtype=dtype)
-    VnM = jnp.asarray(np.einsum("fqi,fj->fqij", vals_m, nfm), dtype=dtype)
-    NvM = jnp.asarray(np.einsum("fi,fqj->fqij", nfm, vals_m), dtype=dtype)
-    VnP = jnp.asarray(np.einsum("fqi,fj->fqij", vals_m, nfp), dtype=dtype)
-    NvP = jnp.asarray(np.einsum("fi,fqj->fqij", nfm, vals_p), dtype=dtype)
+        PenMM = jnp.asarray(np.einsum("fqi,fqj->fqij", vals_m, vals_m), dtype=dtype)
+        PenMP = jnp.asarray(np.einsum("fqi,fqj->fqij", vals_m, vals_p), dtype=dtype)
+        VnM = jnp.asarray(np.einsum("fqi,fj->fqij", vals_m, nfm), dtype=dtype)
+        NvM = jnp.asarray(np.einsum("fi,fqj->fqij", nfm, vals_m), dtype=dtype)
+        VnP = jnp.asarray(np.einsum("fqi,fj->fqij", vals_m, nfp), dtype=dtype)
+        NvP = jnp.asarray(np.einsum("fi,fqj->fqij", nfm, vals_p), dtype=dtype)
 
-    # b[m,m] = sum_q qw ( pen v_m v_m - v_m wam nfm - wam nfm v_m )
-    # b[m,p] = sum_q qw ( -pen v_m v_p - v_m wap nfp + wam nfm v_p )
-    # (jump sign: [u] = u_m - u_p with n = n_out of m)
-    b_mm_int = (jnp.einsum("fqyx,fqij->fijyx", pen_q, PenMM)
-                - jnp.einsum("fqyx,fqij->fijyx", wam_q, VnM + NvM))
-    b_mp_int = (-jnp.einsum("fqyx,fqij->fijyx", pen_q, PenMP)
-                - jnp.einsum("fqyx,fqij->fijyx", wap_q, VnP)
-                + jnp.einsum("fqyx,fqij->fijyx", wam_q, NvP))
-    b_mm_dir = (jnp.einsum("fqyx,fqij->fijyx", penb_q, PenMM)
-                - jnp.einsum("fqyx,fqij->fijyx", am_q, VnM + NvM))
+        # b[m,m] = sum_q qw ( pen v_m v_m - v_m wam nfm - wam nfm v_m )
+        # b[m,p] = sum_q qw ( -pen v_m v_p - v_m wap nfp + wam nfm v_p )
+        # (jump sign: [u] = u_m - u_p with n = n_out of m)
+        b_mm_int = (jnp.einsum("fqyx,fqij->fijyx", pen_q, PenMM)
+                    - jnp.einsum("fqyx,fqij->fijyx", wam_q, VnM + NvM))
+        b_mp_int = (-jnp.einsum("fqyx,fqij->fijyx", pen_q, PenMP)
+                    - jnp.einsum("fqyx,fqij->fijyx", wap_q, VnP)
+                    + jnp.einsum("fqyx,fqij->fijyx", wam_q, NvP))
+        b_mm_dir = (jnp.einsum("fqyx,fqij->fijyx", penb_q, PenMM)
+                    - jnp.einsum("fqyx,fqij->fijyx", am_q, VnM + NvM))
 
-    self_add = interior[:, None, None] * b_mm_int + dirich[:, None, None] * b_mm_dir
-    nb_set = interior[:, None, None] * b_mp_int
+        self_add = (interior[:, None, None] * b_mm_int
+                    + dirich[:, None, None] * b_mm_dir)
+        nb_set = interior[:, None, None] * b_mp_int
+        if len(chunk) == F:
+            # single-chunk fast path: pure reshapes, no .at updates
+            self_k = self_add.reshape(8, 3, nd, nd, KY, KX).sum(axis=1)
+            w0 = w0 + jnp.moveaxis(self_k, 0, 2)
+            nb_planes = jnp.moveaxis(
+                nb_set.reshape(8, 3, nd, nd, KY, KX), (0, 1), (3, 0))
+        else:
+            # family f = k*3 + s: self contribution -> W0[:, :, k];
+            # neighbour contribution -> plane s+1 at subclass k
+            for i, f in enumerate(chunk):
+                k, s = f // 3, f % 3
+                w0 = w0.at[:, :, k].add(self_add[i])
+                nb_planes = nb_planes.at[s, :, :, k].add(nb_set[i])
 
-    # family f = k*3 + s: self contributions sum over s into W0[:, :, k];
-    # neighbour contributions go to plane s+1 at subclass k
-    self_k = self_add.reshape(8, 3, nd, nd, KY, KX).sum(axis=1)  # [8,nd,nd,..]
-    w0 = w0 + jnp.moveaxis(self_k, 0, 2)
-    nb_k = nb_set.reshape(8, 3, nd, nd, KY, KX)
-    nb_planes = jnp.moveaxis(nb_k, (0, 1), (3, 0))  # [3, nd, nd, 8, KY, KX]
     planes = jnp.concatenate([w0[None], nb_planes], axis=0)
     return StencilBlockEll(planes, plan.plan)

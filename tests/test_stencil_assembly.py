@@ -155,3 +155,15 @@ def test_precomputed_coefficient_matches(setup):
     S1 = assemble_structured_spe10(plan, dfac, cf, dtype=jnp.float64)
     S2 = assemble_structured_spe10(plan, pre, cf, dtype=jnp.float64)
     np.testing.assert_array_equal(np.asarray(S1.planes), np.asarray(S2.planes))
+
+
+def test_family_chunks_equivalent(setup):
+    """family_chunks divides peak memory but must not change values."""
+    grid, binfo, space, order, dfac, field = setup
+    plan = build_structured_assembly(grid, order, binfo, side_eps=1e-7)
+    cf = _cell_field_soa(grid, order, field)
+    S1 = assemble_structured_spe10(plan, dfac, cf, dtype=jnp.float64)
+    S3 = assemble_structured_spe10(plan, dfac, cf, dtype=jnp.float64,
+                                   family_chunks=3)
+    np.testing.assert_allclose(np.asarray(S3.planes), np.asarray(S1.planes),
+                               rtol=0, atol=1e-13 * float(jnp.abs(S1.planes).max()))
