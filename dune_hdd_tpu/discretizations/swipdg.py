@@ -433,8 +433,12 @@ class SWIPDGDiscretization(StationaryDiscretization):
         if M is None:
             M = jacobi_smoother(S)
         bn = jnp.linalg.norm(B)
-        X, it = stencil_pcg(S, B / bn, M,
-                            rtol=float(opts.get("precision", 1e-10)),
+        # clamp the relative tolerance to what the working dtype can resolve:
+        # without jax_enable_x64 the f32 recurrence residual cannot reach
+        # 1e-10 and the loop would spin to max_iter doing no-op iterations
+        rtol = max(float(opts.get("precision", 1e-10)),
+                   10.0 * float(jnp.finfo(B.dtype).eps))
+        X, it = stencil_pcg(S, B / bn, M, rtol=rtol,
                             maxiter=int(opts.get("max_iter", 10000)))
         u_s = (X * bn).reshape(-1)[jnp.asarray(maps.from_soa)]
         return u_s * s

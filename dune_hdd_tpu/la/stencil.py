@@ -267,6 +267,52 @@ def chebyshev_smoother(A: StencilBlockEll, degree: int = 3,
     return apply
 
 
+# -- generic preconditioned-Chebyshev helper ----------------------------------
+
+
+def _cheb_apply(matvec: Callable, precond: Callable, degree: int,
+                lmax, ratio: float = 8.0, lmax_safety: float = 1.1):
+    """Chebyshev polynomial approximation of (matvec)^-1 preconditioned by
+    ``precond`` on the spectral interval [lmax/ratio, lmax] of precond∘matvec.
+    A FIXED polynomial -> a fixed symmetric positive operator, safe as (part
+    of) a PCG preconditioner (unlike an inner Krylov solve)."""
+    lmax = lmax * lmax_safety
+    lmin = lmax / ratio
+    theta = 0.5 * (lmax + lmin)
+    delta = 0.5 * (lmax - lmin)
+    sigma = theta / delta
+
+    def apply(R):
+        rho = 1.0 / sigma
+        z = precond(R)
+        d = z / theta
+        x = d
+        for _ in range(degree - 1):
+            rho_new = 1.0 / (2.0 * sigma - rho)
+            r = R - matvec(x)
+            d = (rho_new * rho) * d + (2.0 * rho_new / delta) * precond(r)
+            x = x + d
+            rho = rho_new
+        return x
+
+    return apply
+
+
+def _power_lambda_max(matvec: Callable, precond: Callable, shape, dtype,
+                      iters: int = 12, seed: int = 0):
+    """Power iteration for lambda_max(precond∘matvec) (trace-time setup)."""
+    rng = np.random.default_rng(seed)
+    v = jnp.asarray(rng.standard_normal(shape), dtype=dtype)
+
+    def body(_, v):
+        w = precond(matvec(v))
+        return w / jnp.linalg.norm(w)
+
+    v = jax.lax.fori_loop(0, iters, body, v / jnp.linalg.norm(v))
+    w = precond(matvec(v))
+    return jnp.vdot(v, w) / jnp.vdot(v, v)
+
+
 # -- two-level deflation in plane layout -------------------------------------
 
 
@@ -300,6 +346,127 @@ def _aggregation(A: StencilBlockEll, macro_shape) -> Optional[_Aggregation]:
         return g.reshape(8, my * fy, mx * fx)
 
     return _Aggregation(aggsum, broadcast, mx, my, fy, fx)
+
+
+class _Aggregation2D(NamedTuple):
+    """Fine plane layout -> 2D coarse lattice field [my, mx] (rows = y)."""
+
+    aggsum: Callable      # [.., 8, KY, KX] -> [my, mx] (sums leading dims)
+    broadcast: Callable   # [my, mx] -> [8, KY, KX]
+    mx: int
+    my: int
+    fy: int
+    fx: int
+
+
+def _aggregation2d(A: StencilBlockEll, macro_shape) -> Optional[_Aggregation2D]:
+    KY, KX = A.lattice
+    mx, my = int(macro_shape[0]), int(macro_shape[1])
+    if KX % mx or KY % my:
+        return None
+    fy, fx = KY // my, KX // mx
+
+    def aggsum(R):
+        lead = R.shape[:-3]
+        rc = R.reshape(lead + (8, my, fy, mx, fx))
+        axes = (tuple(range(len(lead))) + (len(lead),)
+                + (len(lead) + 2, len(lead) + 4))
+        return rc.sum(axis=axes)  # [my, mx]
+
+    def broadcast(yc):
+        g = jnp.broadcast_to(yc[None, :, None, :, None], (8, my, fy, mx, fx))
+        return g.reshape(8, my * fy, mx * fx)
+
+    return _Aggregation2D(aggsum, broadcast, mx, my, fy, fx)
+
+
+def _crossing_masks(f: int, d: int, n: int) -> dict:
+    """{v: bool[n]} partition of lattice positions i by the aggregate offset
+    v = (i+d)//f - i//f the shift d produces under f-fold aggregation.
+    Out-of-domain targets keep their arithmetic v — their stencil weights
+    are zero (block-ELL boundary invariant), so they contribute nothing."""
+    i = np.arange(n)
+    dA = (i + d) // f - i // f
+    return {int(v): (dA == v) for v in np.unique(dA)}
+
+
+def _stencil_bands(A: StencilBlockEll, agg: _Aggregation2D) -> dict:
+    """Galerkin coarse operator E = Z^T A Z of the piecewise-constant
+    aggregation as STENCIL BANDS {(vy, vx): [my, mx]} on the coarse lattice
+    (E[a, a+v] = band[v][a]) — the scalar-lattice image of the fine plane
+    layout, applied with rolls (no dense matrix, no scatter)."""
+    KY, KX = A.lattice
+    my, mx, fy, fx = agg.my, agg.mx, agg.fy, agg.fx
+    P = A.planes.sum(axis=(1, 2))  # [4, 8, KY, KX]
+
+    def agg2(field2d):  # [KY, KX] -> [my, mx]
+        return field2d.reshape(my, fy, mx, fx).sum(axis=(1, 3))
+
+    bands: dict = {(0, 0): agg2(P[0].sum(axis=0))}
+    for s in range(3):
+        for k in range(8):
+            _, dy, dx = A.plan[k][s]
+            masks_y = _crossing_masks(fy, dy, KY)
+            masks_x = _crossing_masks(fx, dx, KX)
+            Pk = P[s + 1, k]
+            for vy, m_y in masks_y.items():
+                wy = jnp.asarray(m_y.astype(np.float32))[:, None]
+                for vx, m_x in masks_x.items():
+                    wx = jnp.asarray(m_x.astype(np.float32))[None, :]
+                    contrib = agg2(Pk * wy * wx)
+                    key = (vy, vx)
+                    bands[key] = bands.get(key, 0.0) + contrib
+    return bands
+
+
+def _band_matvec(bands: dict) -> Callable:
+    """y[a] = sum_v band[v][a] * x[a+v] via 2-axis rolls (band entries whose
+    target is out of domain are zero, so the wrap reads are harmless)."""
+
+    def mv(x):
+        out = bands[(0, 0)] * x
+        for (vy, vx), b in bands.items():
+            if (vy, vx) == (0, 0):
+                continue
+            out = out + b * jnp.roll(x, shift=(-vy, -vx), axis=(0, 1))
+        return out
+
+    return mv
+
+
+def _aggregate_bands(bands: dict, my: int, mx: int, gy: int, gx: int) -> dict:
+    """Re-aggregate stencil bands on an [my, mx] lattice by (gy, gx) ->
+    bands on the [my//gy, mx//gx] lattice (Galerkin: Z2^T E Z2)."""
+    my2, mx2 = my // gy, mx // gx
+    out: dict = {}
+    for (vy, vx), b in bands.items():
+        masks_y = _crossing_masks(gy, vy, my)
+        masks_x = _crossing_masks(gx, vx, mx)
+        for vy2, m_y in masks_y.items():
+            wy = jnp.asarray(m_y.astype(np.float32))[:, None]
+            for vx2, m_x in masks_x.items():
+                wx = jnp.asarray(m_x.astype(np.float32))[None, :]
+                contrib = (b * wy * wx).reshape(my2, gy, mx2, gx).sum(axis=(1, 3))
+                key = (vy2, vx2)
+                out[key] = out.get(key, 0.0) + contrib
+    return out
+
+
+def _bands_to_dense(bands: dict, my: int, mx: int) -> jnp.ndarray:
+    """Dense [mx*my, mx*my] operator from stencil bands, in the x-major flat
+    ordering id = ax*my + ay used by ``_coarse_inverse_bcr``."""
+    ay, ax = np.mgrid[0:my, 0:mx]
+    a = ax * my + ay  # [my, mx]
+    n = mx * my
+    E = jnp.zeros((n, n), dtype=jnp.float32)
+    for (vy, vx), b in bands.items():
+        by, bx = ay + vy, ax + vx
+        valid = (by >= 0) & (by < my) & (bx >= 0) & (bx < mx)
+        rows = a[valid]
+        cols = (bx * my + by)[valid]
+        E = E.at[jnp.asarray(rows), jnp.asarray(cols)].add(
+            jnp.asarray(b, dtype=jnp.float32)[valid])
+    return E
 
 
 def _coarse_E(A: StencilBlockEll, agg: _Aggregation) -> jnp.ndarray:
@@ -486,15 +653,65 @@ def _coarse_inverse(E: jnp.ndarray, newton_schulz: int = 3) -> Callable:
     return solve
 
 
+def _middle_inverse(bands1: dict, my1: int, mx1: int, macro_shape,
+                    newton_schulz: int = 2, cheb_degree: int = 2,
+                    cheb_ratio: float = 8.0,
+                    dtype=jnp.float32) -> Optional[Callable]:
+    """Approximate inverse of the middle-level stencil operator E1 (bands on
+    an [my1, mx1] lattice): a balanced two-level preconditioner — Jacobi
+    smoothing + exact (BCR dense) coarse solve on the ``macro_shape``
+    aggregation — optionally wrapped in a degree-``cheb_degree`` Chebyshev
+    polynomial of the preconditioned operator.  A fixed symmetric positive
+    linear operator (NOT an inner Krylov solve), so the enclosing fine-level
+    PCG stays a valid PCG."""
+    mx2, my2 = int(macro_shape[0]), int(macro_shape[1])
+    if mx1 % mx2 or my1 % my2:
+        return None
+    gy, gx = my1 // my2, mx1 // mx2
+    bands2 = _aggregate_bands(bands1, my1, mx1, gy, gx)
+    E2 = _bands_to_dense(bands2, my2, mx2)
+    if gx >= 2:
+        coarse2 = _coarse_inverse_bcr(E2, mx2, my2, newton_schulz)
+    else:
+        coarse2 = _coarse_inverse(E2, newton_schulz)
+    E1mv = _band_matvec(bands1)
+    d1 = bands1[(0, 0)]
+    Dinv = jnp.where(d1 != 0, 1.0 / jnp.where(d1 != 0, d1, 1.0), 0.0)
+
+    def aggsumc(r):  # [my1, mx1] -> flat [mx2*my2] (x-major, BCR order)
+        rc = r.reshape(my2, gy, mx2, gx).sum(axis=(1, 3))
+        return rc.T.reshape(-1)
+
+    def bcastc(yc):
+        g = yc.reshape(mx2, my2).T  # [my2, mx2]
+        return jnp.broadcast_to(
+            g[:, None, :, None], (my2, gy, mx2, gx)).reshape(my1, mx1)
+
+    def Q2(r):
+        return bcastc(coarse2(aggsumc(r)))
+
+    def P1(r):
+        qr = Q2(r)
+        s = Dinv * (r - E1mv(qr))
+        return qr + s - Q2(E1mv(s))
+
+    if cheb_degree < 2:
+        return P1
+    lmax = _power_lambda_max(E1mv, P1, (my1, mx1), dtype)
+    return _cheb_apply(E1mv, P1, cheb_degree, lmax, ratio=cheb_ratio)
+
+
 def stencil_deflation_preconditioner(
     A: StencilBlockEll,
     macro_shape,
     smoother: Optional[Callable] = None,
     newton_schulz: int = 3,
     use_az: bool = True,
+    mid_shape=None,
+    mid_cheb: int = 2,
 ) -> Optional[Callable]:
-    """Balanced two-level preconditioner, all ops regular in the plane
-    layout:
+    """Balanced two- or three-level preconditioner, all ops regular in the
+    plane layout:
 
         M^-1 r = Q r + (I - Q A) S (I - A Q) r,   Q = Z E^-1 Z^T.
 
@@ -502,16 +719,47 @@ def stencil_deflation_preconditioner(
     (AZ[s,i] = sum_j W[s,i,j], ~1/3 of the operator bytes) instead of full
     matvecs: A(Qr) = sum_s AZ[s] * roll_s(broadcast(yc)), and
     Z^T A s = aggsum_s(roll_s^-1(AZ[s] . s)) by symmetry of the pairing.
+
+    ``mid_shape=(mx1, my1)``: THREE-level mode for large lattices, where the
+    ``macro_shape`` coarse space alone degrades (H/h >= 8).  Z projects onto
+    the finer mid_shape aggregation, whose Galerkin operator E1 is a 9-point
+    scalar stencil applied with rolls (``_stencil_bands``); E1 is "inverted"
+    by a fixed Jacobi + exact-``macro_shape``-coarse two-level operator,
+    optionally Chebyshev-accelerated (``mid_cheb``) — so M stays a fixed
+    SPD operator and the outer iteration remains plain PCG.  mid_shape must
+    tile the lattice and be a multiple of macro_shape.
     """
-    agg = _aggregation(A, macro_shape)
-    if agg is None:
-        return None
-    if smoother is None:
-        smoother = jacobi_smoother(A)
-    E = _coarse_E_banded(A, agg)
-    # block-cyclic-reduction inverse: the coarse lattice is block-tridiagonal
-    # ([mx] blocks of [my]); batched-matmul CR beats the sequential LU ~10x
-    coarse = _coarse_inverse_bcr(E, agg.mx, agg.my, newton_schulz)
+    if mid_shape is not None:
+        agg = _aggregation2d(A, mid_shape)
+        if agg is None:
+            return None
+        bands1 = _stencil_bands(A, agg)
+        coarse = _middle_inverse(bands1, agg.my, agg.mx, macro_shape,
+                                 newton_schulz=newton_schulz,
+                                 cheb_degree=mid_cheb,
+                                 dtype=A.planes.dtype)
+        if coarse is None:
+            return None
+        if smoother is None:
+            smoother = jacobi_smoother(A)
+    else:
+        agg = _aggregation(A, macro_shape)
+        if agg is None:
+            return None
+        if smoother is None:
+            smoother = jacobi_smoother(A)
+        E = _coarse_E_banded(A, agg)
+        if agg.fx >= 2:
+            # block-cyclic-reduction inverse: with >=2 fine cells per
+            # aggregate in x the |dx|<=2 stencil shifts cross at most ONE
+            # macro boundary, so the coarse lattice is block-tridiagonal
+            # ([mx] blocks of [my]; any vy coupling stays inside a dense
+            # my x my block); batched-matmul CR beats the sequential LU ~10x
+            coarse = _coarse_inverse_bcr(E, agg.mx, agg.my, newton_schulz)
+        else:
+            # fx == 1: |dx|=2 shifts produce +-2 macro-column couplings that
+            # BCR would silently drop — use the dense LU inverse instead
+            coarse = _coarse_inverse(E, newton_schulz)
     nd = A.nd
 
     if not use_az:

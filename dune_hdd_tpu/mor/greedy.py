@@ -92,14 +92,24 @@ def greedy_rb(
     exact); True or "riesz" -> offline/online Riesz residual estimator
     (mor/residual.py, the pyMOR-reductor semantics of the reference
     workflow: O(Q^2 n^2) per candidate, no detailed solves); "algebraic" ->
-    the O(N) Euclidean residual surrogate."""
+    the O(N) Euclidean residual surrogate.
+
+    coercivity: callable mu -> alpha_LB(mu) dividing the residual dual norm
+    into a true-error bound; "min_theta" -> min_theta_coercivity at the
+    first training parameter.  With coercivity=None in estimator mode,
+    target_error is a RESIDUAL dual-norm tolerance, not a true-error one
+    (the two scales differ by the coercivity factor)."""
     reductor = RBReductor(discretization)
     product = discretization.product_matrix(error_norm)
     estimator = None
     online = None
     if use_estimator in (True, "riesz"):
-        from .residual import RieszResidualEstimator
+        from .residual import RieszResidualEstimator, min_theta_coercivity
 
+        if coercivity == "min_theta":
+            coercivity = min_theta_coercivity(
+                discretization.get_operator(),
+                discretization.problem.parse_parameter(training_set[0]))
         estimator = RieszResidualEstimator(
             discretization, product=error_norm, coercivity=coercivity
         )
@@ -181,6 +191,10 @@ def greedy_lrbms(
     Riesz residual estimator on the globalized basis (mor/residual.py) — one
     detailed solve per extension instead of |training_set| per sweep (the
     pyMOR-reductor semantics of the reference workflow).
+
+    coercivity: as in greedy_rb — None makes target_error a residual
+    dual-norm tolerance; "min_theta" divides by the min-theta coercivity
+    lower bound at the first training parameter.
     """
     d = block_discretization
     S = d.num_subdomains()
@@ -188,8 +202,12 @@ def greedy_lrbms(
     error_product = d.product_matrix(error_norm)
     estimator = online = None
     if use_estimator in (True, "riesz"):
-        from .residual import RieszResidualEstimator
+        from .residual import RieszResidualEstimator, min_theta_coercivity
 
+        if coercivity == "min_theta":
+            coercivity = min_theta_coercivity(
+                d.get_operator(),
+                d.problem.parse_parameter(training_set[0]))
         estimator = RieszResidualEstimator(
             d, product=error_norm, coercivity=coercivity
         )

@@ -229,22 +229,28 @@ def sharded_operator_values(discretization, mesh,
     plan = build_assembly_plan(space, pattern, row_blocks, interior, dirichlet)
     kernels = discretization._operator_kernels
 
-    qorder_vol = None
+    qorders_vol = set()
     qorders_face = set()
     for ker in kernels:
         lam_fn = ker["lam_fn"]
         wlam = ker["face_kw"].get("weight_lam_fn") or lam_fn
         qorders_face.add(2 * space.order + max(lam_fn.order, wlam.order) + 1)
-        if qorder_vol is None and ker["volume"]:
+        if ker["volume"]:
             kap_fn = ker["kap_fn"]
-            qorder_vol = (lam_fn.order + kap_fn.order
-                          + 2 * (space.order - 1) + 2)
+            qorders_vol.add(lam_fn.order + kap_fn.order
+                            + 2 * (space.order - 1) + 2)
     if len(qorders_face) != 1:
         raise NotImplementedError(
             f"components with mixed face quadrature orders: {qorders_face}")
+    if len(qorders_vol) > 1:
+        # the stacked geometry is shared across components; a single volume
+        # qorder keeps the sharded path bitwise-equal to the host path, so
+        # refuse (rather than silently assemble with the first kernel's
+        # order) when the components disagree
+        raise NotImplementedError(
+            f"components with mixed volume quadrature orders: {qorders_vol}")
     qorder_face = qorders_face.pop()
-    if qorder_vol is None:
-        qorder_vol = 2
+    qorder_vol = qorders_vol.pop() if qorders_vol else 2
     vol_geo, geom_i, geom_b = _stacked_geometry(space, plan, qorder_vol,
                                                 qorder_face)
 
