@@ -31,7 +31,7 @@ from .grid.structured import alu_cube_grid
 
 from .testcases._spe10_channel import CHANNEL
 
-__all__ = ["build_spe10_bench", "run_spe10_bench"]
+__all__ = ["build_spe10_bench", "run_spe10_bench", "block_provenance_check"]
 
 _FORCES = [
     ((0.95, 0.30), (1.10, 0.45), 2000.0),
@@ -52,6 +52,35 @@ def _field_tensor_function(field: jnp.ndarray) -> LambdaFunction:
         return lam[..., None, None] * jnp.eye(2, dtype=x.dtype)
 
     return LambdaFunction(evaluate, range_shape=(2, 2), order=0, name="spe10_field")
+
+
+def _select_mid_level(KY: int, KX: int, macro) -> Tuple[Optional[tuple], int]:
+    """(mid_shape, mid_cheb) for the stencil deflation preconditioner.
+
+    BENCH_MID: "none" -> two-level; "mx,my" -> explicit middle lattice;
+    "auto" (default) -> insert a middle level when the fine-to-macro
+    aggregation factor reaches 8 (the two-level coarse space degrades at
+    H/h >= 8 — measured 1.56 MDoF/s at 3M DoF round 3), choosing the
+    middle lattice at fine-to-mid factor 4 (the factor the 768k config
+    runs at) so the exact coarse solve stays on the ``macro`` level.
+    BENCH_MID_CHEB: Chebyshev degree of the middle-level solve (<2 -> one
+    balanced two-level application)."""
+    raw = os.environ.get("BENCH_MID", "auto")
+    cheb = int(os.environ.get("BENCH_MID_CHEB", "2"))
+    if raw == "none":
+        return None, cheb
+    if raw != "auto":
+        mid = tuple(int(x) for x in raw.split(","))
+        if len(mid) != 2 or mid[0] <= 0 or mid[1] <= 0:
+            raise ValueError(f"BENCH_MID must be 'mx,my', 'auto' or 'none', got {raw!r}")
+        return mid, cheb
+    if macro is None or KX % macro[0] or KY % macro[1]:
+        return None, cheb
+    fx, fy = KX // macro[0], KY // macro[1]
+    if min(fx, fy) < 8:
+        return None, cheb
+    # fine-to-mid factor 4 per axis, mid aligned with (a refinement of) macro
+    return (KX // 4, KY // 4), cheb
 
 
 def build_spe10_bench(bisections: int = 4, maxiter: int = 300,
@@ -196,6 +225,7 @@ def build_spe10_bench(bisections: int = 4, maxiter: int = 300,
         # runtime input stays the permeability field.
         from .la.stencil import (
             chebyshev_smoother,
+            jacobi_smoother,
             soa_index_maps,
             stencil_deflation_preconditioner,
             stencil_refined_solve,
@@ -211,6 +241,7 @@ def build_spe10_bench(bisections: int = 4, maxiter: int = 300,
         smoother_kind = os.environ.get("BENCH_SMOOTHER", "jacobi")
         newton_schulz = int(os.environ.get("BENCH_NS", "2"))
         KY, KX = order.lattice
+        mid_shape, mid_cheb = _select_mid_level(KY, KX, macro)
         splan = build_structured_assembly(grid, order, binfo)
         # the channel geometry is static (only the permeability field is a
         # runtime input): evaluate the 105-box coefficient once on the host
@@ -253,7 +284,16 @@ def build_spe10_bench(bisections: int = 4, maxiter: int = 300,
                 if smoother_kind.startswith("cheb"):
                     sm = chebyshev_smoother(S, degree=int(smoother_kind[4:] or 2))
                 M = stencil_deflation_preconditioner(
-                    S, macro, smoother=sm, newton_schulz=newton_schulz)
+                    S, macro, smoother=sm, newton_schulz=newton_schulz,
+                    mid_shape=mid_shape, mid_cheb=mid_cheb)
+                if M is None:
+                    import logging
+
+                    logging.getLogger("dune_hdd_tpu.bench").warning(
+                        "stencil deflation unavailable (macro %s / mid %s "
+                        "does not tile the lattice); falling back to "
+                        "block-Jacobi", macro, mid_shape)
+                    M = sm or jacobi_smoother(S)
             X, res, iters = stencil_refined_solve(
                 S, B, M, tol=tol, inner_iters=inner_iters,
                 unroll=int(os.environ.get("BENCH_UNROLL", "4")))
@@ -264,6 +304,7 @@ def build_spe10_bench(bisections: int = 4, maxiter: int = 300,
         from .la.stencil import (
             StencilBlockEll,
             chebyshev_smoother,
+            jacobi_smoother,
             soa_index_maps,
             stencil_deflation_preconditioner,
             stencil_refined_solve,
@@ -273,6 +314,7 @@ def build_spe10_bench(bisections: int = 4, maxiter: int = 300,
         newton_schulz = int(os.environ.get("BENCH_NS", "2"))
         maps = soa_index_maps(order, 3)
         KY, KX = order.lattice
+        mid_shape, mid_cheb = _select_mid_level(KY, KX, macro)
 
         def solve_stencil(A32, b32):
             # one static gather permutes blocks+rhs into the plane layout;
@@ -283,7 +325,15 @@ def build_spe10_bench(bisections: int = 4, maxiter: int = 300,
             if smoother_kind.startswith("cheb"):
                 sm = chebyshev_smoother(S, degree=int(smoother_kind[4:] or 2))
             M = stencil_deflation_preconditioner(
-                S, macro, smoother=sm, newton_schulz=newton_schulz)
+                S, macro, smoother=sm, newton_schulz=newton_schulz,
+                mid_shape=mid_shape, mid_cheb=mid_cheb)
+            if M is None:
+                import logging
+
+                logging.getLogger("dune_hdd_tpu.bench").warning(
+                    "stencil deflation unavailable (macro %s does not tile "
+                    "the lattice); falling back to block-Jacobi", macro)
+                M = sm or jacobi_smoother(S)
             X, res, iters = stencil_refined_solve(
                 S, B, M, tol=tol, inner_iters=inner_iters,
                 unroll=int(os.environ.get("BENCH_UNROLL", "4")))
@@ -332,6 +382,128 @@ def build_spe10_bench(bisections: int = 4, maxiter: int = 300,
     fn = assemble_and_solve
     field = jnp.asarray(_synthetic_model1_field(), dtype=dtype)
     return fn, field, num_dofs
+
+
+def block_provenance_check(bisections: int = 2, partitioning=(20, 4),
+                           nvec: int = 3, seed: int = 0) -> dict:
+    """Close the bench <-> north-star provenance (BASELINE.json names "SPE10
+    **block**-SWIPDG"; reference block-swipdg.hh:262-551): assert that the
+    operator/rhs the bench assembles are EXACTLY the BlockSWIPDG global
+    system, i.e. equal to the sum of per-subdomain local operators plus
+    pairwise coupling operators of ``BlockSWIPDGDiscretization`` on the
+    north-star [20 4 1] partitioning (testcases/spe10.hh).
+
+    The comparison is matvec-based (random vectors) so it runs at bench
+    sizes without densifying.  Returns a dict recorded in the bench JSON.
+    """
+    from .discretizations.block_swipdg import BlockSWIPDGDiscretization
+    from .functions.base import constant_matrix, nonparametric
+    from .grid.boundaryinfo import make_boundary_info
+    from .grid.structured_order import structured_cell_order
+    from .la.stencil_assembly import (
+        assemble_structured_spe10,
+        build_structured_assembly,
+        geometric_soa_maps,
+        precompute_coefficient,
+        structured_rhs,
+    )
+    from .problems.default import DefaultProblem
+
+    bisections -= bisections % 2  # the structured order needs even bisections
+    grid = alu_cube_grid((0.0, 0.0), (5.0, 1.0), (100, 20),
+                         refinements=bisections)
+    bi_cfg = {"type": "stuff.grid.boundaryinfo.alldirichlet"}
+    field = jnp.asarray(_synthetic_model1_field(), dtype=jnp.float32)
+    channel = IndicatorFunction(CHANNEL, name="channel")
+    diffusion_factor = SumFunction(
+        [ConstantFunction(1.0), ScaledFunction(channel, -0.9)],
+        name="diffusion_factor")
+    tensor = _field_tensor_function(field)
+    force = IndicatorFunction(_FORCES, name="force")
+
+    # the benched operator: the SAME builders the stencil2 bench path jits
+    # (direct-to-planes assembly + plane rhs), frozen at the example field
+    binfo = make_boundary_info(grid, bi_cfg)
+    order = structured_cell_order(grid, (0.0, 0.0), (5.0, 1.0))
+    splan = build_structured_assembly(grid, order, binfo)
+    dfac_pre = precompute_coefficient(splan, diffusion_factor)
+    to_soa, from_soa = geometric_soa_maps(order, splan)
+    KY, KX = order.lattice
+    fy, fx = KY // MODEL1_NZ, KX // MODEL1_NX
+    cf2d = jnp.broadcast_to(
+        field.T[:, None, :, None], (MODEL1_NZ, fy, MODEL1_NX, fx)
+    ).reshape(KY, KX)
+    S = assemble_structured_spe10(
+        splan, dfac_pre, jnp.broadcast_to(cf2d[None], (8, KY, KX)))
+    b_bench = np.asarray(structured_rhs(splan, force).reshape(-1))[
+        np.asarray(from_soa)]
+
+    def bench_matvec(x):
+        X = jnp.asarray(x, dtype=S.planes.dtype)[jnp.asarray(to_soa)]
+        y = S.matvec(X.reshape(3, 8, KY, KX))
+        return np.asarray(y.reshape(-1))[np.asarray(from_soa)]
+
+    # the block artifact: per-subdomain locals + pairwise couplings
+    problem = DefaultProblem(
+        diffusion_factor=nonparametric(diffusion_factor),
+        diffusion_tensor=nonparametric(tensor),
+        force=nonparametric(force),
+    )
+    bdisc = BlockSWIPDGDiscretization(
+        grid, bi_cfg, problem, num_partitions=tuple(partitioning),
+        only_these_products=())
+    n = bdisc.space.num_dofs
+    locals_ = [bdisc.get_local_operator(ss).freeze({})
+               for ss in range(bdisc.num_subdomains())]
+    dof_maps = [np.asarray(bdisc._local_dof_map(ss))
+                for ss in range(bdisc.num_subdomains())]
+    couplings = []
+    for ss in range(bdisc.num_subdomains()):
+        for nn in bdisc.neighbouring_subdomains(ss):
+            if nn <= ss:
+                continue
+            couplings.append((ss, int(nn),
+                              bdisc.get_coupling_operator(ss, int(nn)).freeze({})))
+
+    def block_matvec(x):
+        y = np.zeros(n)
+        for ss, (A_loc, dofs) in enumerate(zip(locals_, dof_maps)):
+            y[dofs] += np.asarray(A_loc.matvec(jnp.asarray(x[dofs])))
+        for ss, nn, cop in couplings:
+            ds, dn = dof_maps[ss], dof_maps[nn]
+            xs, xn = jnp.asarray(x[ds]), jnp.asarray(x[dn])
+            y[ds] += np.asarray(cop.in_in.matvec(xs))
+            y[ds] += np.asarray(cop.in_out.matvec(xn))
+            y[dn] += np.asarray(cop.out_in.matvec(xs))
+            y[dn] += np.asarray(cop.out_out.matvec(xn))
+        return y
+
+    rng = np.random.default_rng(seed)
+    rel_op = 0.0
+    for _ in range(nvec):
+        x = rng.standard_normal(n)
+        yb = block_matvec(x)
+        ys = bench_matvec(x)
+        rel_op = max(rel_op, float(np.linalg.norm(ys - yb)
+                                   / max(np.linalg.norm(yb), 1e-30)))
+    b_block = np.zeros(n)
+    for ss, dofs in enumerate(dof_maps):
+        b_block[dofs] += np.asarray(bdisc.get_local_rhs(ss).freeze({}))
+    rel_rhs = float(np.linalg.norm(b_bench - b_block)
+                    / max(np.linalg.norm(b_block), 1e-30))
+    if rel_op > 1e-4 or rel_rhs > 1e-4:
+        raise AssertionError(
+            f"bench operator != BlockSWIPDG global system: "
+            f"rel_op={rel_op:.3e} rel_rhs={rel_rhs:.3e}")
+    return {
+        "artifact": "block-swipdg",
+        "partitioning": [int(partitioning[0]), int(partitioning[1]), 1],
+        "num_subdomains": int(bdisc.num_subdomains()),
+        "checked_dofs": int(n),
+        "bisections": int(bisections),
+        "rel_op": rel_op,
+        "rel_rhs": rel_rhs,
+    }
 
 
 def run_spe10_bench(bisections: int = 4, repeats: int = 3, **kw) -> dict:
