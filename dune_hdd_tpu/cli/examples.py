@@ -130,6 +130,32 @@ class LinearellipticExampleCG(_ExampleBase):
         return "example.linearelliptic.cg"
 
 
+class LinearellipticExampleTensorCG(_ExampleBase):
+    """CG on tensor-product grids in d = 1, 2, 3 — the SGrid<1,1>/<3,3>
+    instantiations of the reference example (cg.cc:19-21)."""
+
+    @classmethod
+    def static_id(cls) -> str:
+        return "example.linearelliptic.cg.tensor"
+
+    def initialize_tensor(self, dim: int = 3, num_elements=4,
+                          lower=0.0, upper=1.0, problem=None,
+                          boundary_info=None) -> "LinearellipticExampleTensorCG":
+        """Programmatic initialization (the config path stays 2D; the
+        reference selects the grid dimension at compile time, here it is a
+        runtime argument)."""
+        from ..discretizations.tensor_cg import TensorCGDiscretization
+        from ..grid.tensor import tensor_grid
+
+        num_elements = ([int(num_elements)] * dim
+                        if np.isscalar(num_elements) else list(num_elements))
+        grid = tensor_grid([float(lower)] * dim, [float(upper)] * dim,
+                           num_elements)
+        self._discretization = TensorCGDiscretization(
+            grid, boundary_info, problem)
+        return self
+
+
 class LinearellipticExampleSWIPDG(_ExampleBase):
     discretization_class = SWIPDGDiscretization
 

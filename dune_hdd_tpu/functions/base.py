@@ -82,10 +82,12 @@ class ConstantFunction(Function):
         return jnp.zeros(x.shape[:-1] + self.range_shape + (x.shape[-1],))
 
 
-def constant_matrix(diag=1.0, name: str = "diffusion_tensor") -> ConstantFunction:
-    """Unit (or scaled-identity) 2x2 tensor, the reference's default
-    diffusion_tensor (problems/ESV2007.hh unit_matrix)."""
-    return ConstantFunction(jnp.eye(2) * diag, name=name)
+def constant_matrix(diag=1.0, name: str = "diffusion_tensor",
+                    dim: int = 2) -> ConstantFunction:
+    """Unit (or scaled-identity) dim x dim tensor, the reference's default
+    diffusion_tensor (problems/ESV2007.hh unit_matrix; d = 1/3 for the
+    SGrid<1,1>/SGrid<3,3> instantiations of cg.cc:19-21)."""
+    return ConstantFunction(jnp.eye(dim) * diag, name=name)
 
 
 _X_EXPR_NAMESPACE = {

@@ -10,6 +10,13 @@ from .structured import (
 )
 from .boundaryinfo import BoundaryInfo, make_boundary_info
 from .hierarchy import GridHierarchy, GridProviders, prolong_vertex_values
+from .tensor import (
+    TensorBoundaryInfo,
+    TensorGrid,
+    TensorGridHierarchy,
+    make_tensor_boundary_info,
+    tensor_grid,
+)
 
 __all__ = [
     "Grid",
@@ -25,4 +32,9 @@ __all__ = [
     "GridHierarchy",
     "GridProviders",
     "prolong_vertex_values",
+    "TensorBoundaryInfo",
+    "TensorGrid",
+    "TensorGridHierarchy",
+    "make_tensor_boundary_info",
+    "tensor_grid",
 ]

@@ -60,6 +60,12 @@ def _float_tag() -> str:
 def cell_quadrature(grid: Grid, order: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Physical quadrature: points [NC, k, 2], weights [NC, k] (incl. |J|).
     Cached per (grid, order) — shared by every affine component's kernel."""
+    from ..grid.tensor import TensorGrid
+
+    if isinstance(grid, TensorGrid):  # d-generic Q1 path (ops/tensor_space.py)
+        from .tensor_space import tensor_cell_quadrature
+
+        return tensor_cell_quadrature(grid, order)
     key = ("_cell_quadrature", int(order), _float_tag())
     cached = grid.__dict__.get(key)
     if cached is not None:
