@@ -11,6 +11,16 @@ from dune_hdd_tpu.problems import ThermalblockProblem
 BI = {"type": "stuff.grid.boundaryinfo.alldirichlet"}
 
 
+def test_shim_satisfies_shared_contract():
+    """The SAME contract suite tests/test_pymor_real.py runs against real
+    pyMOR (importorskipped there), here on the shim branch — shim and real
+    bridge share one behavioural spec."""
+    from pymor_contract import make_thermalblock_discretization, run_full_contract
+
+    d = make_thermalblock_discretization()
+    run_full_contract(as_pymor_model(d), d)
+
+
 def test_shim_solve_matches_native():
     grid = alu_cube_grid((0, 0), (1, 1), (4, 4), refinements=2)
     d = SWIPDGDiscretization(grid, BI, ThermalblockProblem((2, 2)))
