@@ -117,21 +117,26 @@ def _run_study(args):
     return 0
 
 
-def _run_block_study(args):
-    """Block-SWIPDG eta_OS2014 over partitionings 1/4/16/64 — the
-    OS2014-FVCA7 poster workflow (test/OS2014-FVCA7-poster.cc:53-85)."""
+def fvca7_poster_study(partitionings=((1, 1), (2, 2), (4, 4), (8, 8)),
+                       num_refinements: int = 1):
+    """The OS2014-FVCA7 poster workflow (test/OS2014-FVCA7-poster.cc:53-85):
+    BlockSWIPDG on the ESV2007 test case over partitionings 1/4/16/64
+    subdomains, energy error + eta_OS2014 + efficiency per level.  Returns
+    {"[px py 1]": {"energy": [...], "eta_OS2014": [...],
+    "eff_OS2014": [...]}} — asserted against the RECORDED expectation table
+    by tests/test_fvca7_poster.py."""
     from ..discretizations.block_swipdg import BlockSWIPDGDiscretization
     from ..estimators.block_swipdg import BlockSWIPDGEstimators
     from ..functions import Testcase1ExactSolution
     from ..ops import error_norms
     from ..testcases import ESV2007TestCase
 
-    tc = ESV2007TestCase(num_refinements=1)
+    tc = ESV2007TestCase(num_refinements=num_refinements)
     exact = Testcase1ExactSolution()
-    print("BlockSWIPDG ESV2007: eta_OS2014 / eff by partitioning\n")
-    print(f"{'partitioning':>14s} {'level':>5s} {'energy err':>12s} "
-          f"{'eta_OS2014':>12s} {'eff':>8s}")
-    for part in ((1, 1), (2, 2), (4, 4), (8, 8)):
+    out = {}
+    for part in partitionings:
+        key = f"[{part[0]} {part[1]} 1]"
+        rows = {"energy": [], "eta_OS2014": [], "eff_OS2014": []}
         for lvl in range(tc.num_refinements + 1):
             d = BlockSWIPDGDiscretization(
                 tc.level_grid(lvl), tc.boundary_info(), tc.problem,
@@ -139,10 +144,24 @@ def _run_block_study(args):
             )
             u = d.solve(options={"type": "cg.jacobi", "precision": 1e-12,
                                  "max_iter": 20000})
-            eta = BlockSWIPDGEstimators.estimate(d, u, "eta_OS2014")
-            e = error_norms(d.space, u, exact)["H1_semi"]
-            print(f"{str(list(part)):>14s} {lvl:>5d} {e:>12.4e} "
-                  f"{eta:>12.4e} {eta/e:>8.3f}")
+            eta = float(BlockSWIPDGEstimators.estimate(d, u, "eta_OS2014"))
+            e = float(error_norms(d.space, u, exact)["H1_semi"])
+            rows["energy"].append(e)
+            rows["eta_OS2014"].append(eta)
+            rows["eff_OS2014"].append(eta / e)
+        out[key] = rows
+    return out
+
+
+def _run_block_study(args):
+    """CLI face of the FVCA7-poster workflow."""
+    print("BlockSWIPDG ESV2007: eta_OS2014 / eff by partitioning\n")
+    print(f"{'partitioning':>14s} {'level':>5s} {'energy err':>12s} "
+          f"{'eta_OS2014':>12s} {'eff':>8s}")
+    for key, rows in fvca7_poster_study().items():
+        for lvl, (e, eta, eff) in enumerate(zip(
+                rows["energy"], rows["eta_OS2014"], rows["eff_OS2014"])):
+            print(f"{key:>14s} {lvl:>5d} {e:>12.4e} {eta:>12.4e} {eff:>8.3f}")
     return 0
 
 

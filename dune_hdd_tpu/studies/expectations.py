@@ -110,6 +110,27 @@ for _part in ("[1 1 1]", "[2 2 1]", "[4 4 1]", "[8 8 1]"):
     })
 
 # ---------------------------------------------------------------------------
+# FVCA7-poster workflow (test/OS2014-FVCA7-poster.cc:53-85): BlockSWIPDG on
+# ESV2007 over partitionings 1/4/16/64 via cli/main.py fvca7_poster_study —
+# RECORDED with this framework (2026-08-17, cg.jacobi precision 1e-12,
+# levels 0-1).  The efficiencies match the reference's recorded
+# eff_OS2014 rows per partitioning ([1 1 1] 3.35, [2 2 1] 2.47,
+# [4 4 1] 2.03, [8 8 1] 1.81 — ...block-swipdg-expectations_esv2007_
+# 2daluconform.cxx:54-57,79-82,104-107,129-132) to <1%.
+for _part, _values in {
+    "[1 1 1]": {"eta_OS2014": [1.0992, 0.54505],
+                "eff_OS2014": [3.3491, 3.3695]},
+    "[2 2 1]": {"eta_OS2014": [0.80981, 0.39984],
+                "eff_OS2014": [2.4673, 2.4718]},
+    "[4 4 1]": {"eta_OS2014": [0.66511, 0.32723],
+                "eff_OS2014": [2.0265, 2.0229]},
+    "[8 8 1]": {"eta_OS2014": [0.59277, 0.29092],
+                "eff_OS2014": [1.8061, 1.7985]},
+}.items():
+    record(f"FVCA7.poster.{_part}", "alu_conforming", 1,
+           dict(_values, energy=[0.32821, 0.16176]))
+
+# ---------------------------------------------------------------------------
 # BlockSWIPDG, OS2014 parametric, [4 4 1] — the reference's per-component
 # self-weighted scheme (swipdg.hh:222-249).  At mu = 1 these REPRODUCE the
 # reference parametric tables (.._os2014_2daluconform.cxx:95-190) exactly
