@@ -283,9 +283,18 @@ def build_spe10_bench(bisections: int = 4, maxiter: int = 300,
                 sm = None
                 if smoother_kind.startswith("cheb"):
                     sm = chebyshev_smoother(S, degree=int(smoother_kind[4:] or 2))
-                M = stencil_deflation_preconditioner(
-                    S, macro, smoother=sm, newton_schulz=newton_schulz,
-                    mid_shape=mid_shape, mid_cheb=mid_cheb)
+                if os.environ.get("BENCH_PC2", "deflation") == "mg":
+                    # plane-layout aggregation V-cycle (la/stencil_multigrid):
+                    # fewer PCG iterations than two-level deflation at 192k
+                    # (360 vs 400 measured), heavier per application
+                    from .stencil_multigrid import stencil_multigrid_preconditioner
+
+                    M = stencil_multigrid_preconditioner(
+                        S, newton_schulz=newton_schulz, smoother=sm)
+                else:
+                    M = stencil_deflation_preconditioner(
+                        S, macro, smoother=sm, newton_schulz=newton_schulz,
+                        mid_shape=mid_shape, mid_cheb=mid_cheb)
                 if M is None:
                     import logging
 
