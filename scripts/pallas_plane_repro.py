@@ -17,12 +17,21 @@ This script is the guarded round-4 experiment (VERDICT r3 next item 6):
    a subprocess with a timeout (`--mode guarded` does that for you) so a
    Mosaic hang cannot take the session down.  Reports GB/s on success.
 
-OUTCOME (round 4, 2026-08-17, this tunnel): interpret mode validates
-(rel err ~1e-7 vs the XLA plane matvec); `--mode guarded` times out after
-120 s in the remote Mosaic compile, exactly like the minimal repro — the
-hang is tunnel-infrastructure, not kernel-shape, and the item stays closed
-with the XLA plane path as the production SpMV (la/stencil.py, ~29 GB/s of
-the ~62 GB/s roofline).
+OUTCOME (round 4, 2026-08-17, this tunnel):
+
+- The first guarded compile failed fast (rc=1) at CLIENT-side Mosaic
+  lowering: the kernel's `acc.at[i].add(...)` lowers to scatter-add, which
+  Pallas TPU does not implement.  That was a genuine kernel bug, fixed by
+  accumulating per-row in Python lists and `jnp.stack`ing (this file);
+  interpret mode re-validates at rel err 6.4e-8.
+- With the kernel fixed, the bounded REMOTE compile question was re-tested
+  via scripts/pallas_minimal_repro.py (a single [64,128] elementwise
+  pallas_call): still hangs >200 s (rc=124, 2026-08-17 13:06).  Remote
+  Mosaic compilation through this tunnel remains unavailable regardless of
+  kernel shape, so the item stays closed with the XLA plane path as the
+  production SpMV (la/stencil.py, ~29 GB/s of the ~62 GB/s roofline).
+  The fixed kernel here is compile-ready for hardware with a live Mosaic
+  path.
 """
 import argparse
 import subprocess
@@ -74,20 +83,21 @@ def build_pallas_matvec(S, interpret: bool):
     dx = np.asarray([[S.plan[k][s][2] for s in range(3)] for k in range(8)])
 
     def kernel(x0_ref, x1_ref, x2_ref, xs_ref, w_ref, o_ref, *, k):
+        # per-row Python accumulators (no .at[].add — Mosaic has no scatter)
         w = w_ref[...]                       # [4, nd, nd, 1, KY, KX]
-        acc = jnp.zeros((nd, KY, KX), jnp.float32)
         xs = xs_ref[...]                     # self slot [nd, 1, KY, KX]
+        rows = [jnp.zeros((KY, KX), jnp.float32) for _ in range(nd)]
         for i in range(nd):
             for j in range(nd):
-                acc = acc.at[i].add(w[0, i, j, 0] * xs[j, 0])
+                rows[i] = rows[i] + w[0, i, j, 0] * xs[j, 0]
         for s, x_ref in enumerate((x0_ref, x1_ref, x2_ref)):
             xv = x_ref[...]                  # [nd, 1, KY, KX] source slot
             sh = jnp.roll(xv[:, 0], shift=(-int(dy[k][s]), -int(dx[k][s])),
                           axis=(1, 2))
             for i in range(nd):
                 for j in range(nd):
-                    acc = acc.at[i].add(w[s + 1, i, j, 0] * sh[j])
-        o_ref[...] = acc[:, None]
+                    rows[i] = rows[i] + w[s + 1, i, j, 0] * sh[j]
+        o_ref[...] = jnp.stack(rows)[:, None]
 
     # one pallas_call per slot k: the source-slot selection is static per
     # call (Mosaic-friendly), the 8 calls fuse into one XLA computation
