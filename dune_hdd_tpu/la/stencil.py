@@ -106,21 +106,35 @@ class _Static:
 @jax.tree_util.register_pytree_node_class
 class StencilBlockEll:
     """planes [4, nd, nd, 8, KY, KX] (slot 0 = self); plan: 8x3 static
-    (k_src, dy, dx) lattice shifts."""
+    (k_src, dy, dx) lattice shifts.
 
-    def __init__(self, planes: jnp.ndarray, plan):
+    ``sym=True`` switches :meth:`matvec` to the symmetric-storage form: the
+    SWIPDG operator is symmetric, so each undirected coupling edge (k, s) ~
+    (k_src, s') satisfies W[s'+1, j, i, k_src] == roll(W[s+1, i, j, k],
+    (dy, dx)) up to f32 assembly roundoff (~1e-7 rel, verified in tests).
+    The symmetric matvec reads only the 12 forward-edge plane sets plus the
+    upper triangle of the self blocks and applies each stored plane twice
+    (forward, and transposed + inverse-rolled), cutting operator HBM
+    traffic ~1.5x.  The result is the exactly-symmetrized operator
+    (required by CG anyway); it differs from the assembled one within
+    assembly roundoff.
+    """
+
+    def __init__(self, planes: jnp.ndarray, plan, sym: bool = False):
         self.planes = planes
         self.plan = tuple(tuple(tuple(int(v) for v in e) for e in row)
                           for row in plan)
+        self.sym = bool(sym)
 
     def tree_flatten(self):
         if not hasattr(self, "_aux"):
-            self._aux = _Static(self.plan)
+            self._aux = _Static((self.plan, self.sym))
         return (self.planes,), self._aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], aux.value)
+        plan, sym = aux.value
+        return cls(children[0], plan, sym)
 
     @property
     def nd(self):
@@ -135,10 +149,14 @@ class StencilBlockEll:
         return 8 * self.planes.shape[-2] * self.planes.shape[-1]
 
     def with_planes(self, planes):
-        return StencilBlockEll(planes, self.plan)
+        return StencilBlockEll(planes, self.plan, self.sym)
 
     def astype(self, dtype):
         return self.with_planes(self.planes.astype(dtype))
+
+    def symmetrized(self) -> "StencilBlockEll":
+        """Same planes, symmetric-storage matvec (see class docstring)."""
+        return StencilBlockEll(self.planes, self.plan, sym=True)
 
     @classmethod
     def from_block_ell(cls, A: BlockEllMatrix, order) -> "StencilBlockEll":
@@ -171,7 +189,10 @@ class StencilBlockEll:
 
     def matvec(self, X: jnp.ndarray) -> jnp.ndarray:
         """X [nd, 8, KY, KX] -> A X in the same layout; 24 rolls + 36 FMAs,
-        all fused elementwise (exact f32 — no matmul/bf16 pass involved)."""
+        all fused elementwise (exact f32 — no matmul/bf16 pass involved).
+        With ``sym`` set, dispatches to the half-storage symmetric form."""
+        if self.sym:
+            return self._matvec_sym(X)
         W = self.planes
         nd = self.nd
         fields = self.neighbor_fields(X)
@@ -184,6 +205,59 @@ class StencilBlockEll:
                     t = c if t is None else t + c
             acc.append(t)
         return jnp.stack(acc, axis=0)
+
+    def _sym_forward_edges(self):
+        """12 forward (k, s) edges covering each undirected coupling once,
+        with the reverse (k_src, s') partner.  Raises if the plan is not
+        symmetric (it is for the NVB subclass structure)."""
+        pairs = {}
+        for k in range(8):
+            for s in range(3):
+                ks, dy, dx = self.plan[k][s]
+                rev = None
+                for sp in range(3):
+                    if self.plan[ks][sp] == (k, -dy, -dx):
+                        rev = sp
+                if rev is None:
+                    raise ValueError(
+                        f"stencil plan has no reverse edge for (k={k}, s={s})")
+                pairs[(k, s)] = (ks, rev)
+        return [(e, pairs[e]) for e in pairs if e < pairs[e]]
+
+    def _matvec_sym(self, X: jnp.ndarray) -> jnp.ndarray:
+        W = self.planes
+        nd = self.nd
+        acc = [[None] * 8 for _ in range(nd)]
+
+        def add(i, k, val):
+            acc[i][k] = val if acc[i][k] is None else acc[i][k] + val
+
+        # self blocks: upper triangle used both ways (exactly symmetric)
+        for k in range(8):
+            for i in range(nd):
+                for j in range(i, nd):
+                    w = W[0, i, j, k]
+                    add(i, k, w * X[j, k])
+                    if i < j:
+                        add(j, k, w * X[i, k])
+        # each undirected edge: stored forward plane applied forward and
+        # (transposed + inverse-rolled) backward
+        for (k, s), (ks, _sp) in self._sym_forward_edges():
+            _, dy, dx = self.plan[k][s]
+            Xsh = jnp.roll(X[:, ks], shift=(-dy, -dx), axis=(1, 2))
+            for i in range(nd):
+                t = None
+                for j in range(nd):
+                    c = W[s + 1, i, j, k] * Xsh[j]
+                    t = c if t is None else t + c
+                add(i, k, t)
+            for j in range(nd):
+                t = None
+                for i in range(nd):
+                    c = W[s + 1, i, j, k] * X[i, k]
+                    t = c if t is None else t + c
+                add(j, ks, jnp.roll(t, shift=(dy, dx), axis=(0, 1)))
+        return jnp.stack([jnp.stack(row, axis=0) for row in acc], axis=0)
 
     __matmul__ = matvec
 

@@ -84,6 +84,47 @@ def test_matvec_matches_gather_path(system):
     np.testing.assert_allclose(y, y_ref, rtol=0, atol=3e-5 * np.abs(y_ref).max())
 
 
+def test_symmetric_matvec_matches(system):
+    """Half-storage symmetric matvec == full matvec within f32 assembly
+    roundoff (the two directions of each coupling edge are assembled
+    independently, so they agree only to ~1e-7 rel), and is EXACTLY
+    symmetric as a bilinear form."""
+    grid, A, b, order = system
+    S = StencilBlockEll.from_block_ell(A, order)
+    Ssym = S.symmetrized()
+    assert Ssym.sym and not S.sym
+    rng = np.random.default_rng(7)
+    X = jnp.asarray(rng.standard_normal((A.nd, 8) + S.lattice), jnp.float32)
+    Y = jnp.asarray(rng.standard_normal((A.nd, 8) + S.lattice), jnp.float32)
+    yf = np.asarray(S.matvec(X))
+    ys = np.asarray(Ssym.matvec(X))
+    np.testing.assert_allclose(ys, yf, rtol=0, atol=5e-6 * np.abs(yf).max())
+    # exact symmetry of the bilinear form (up to f32 reduction order)
+    lhs = float(jnp.vdot(Ssym.matvec(X), Y))
+    rhs = float(jnp.vdot(X, Ssym.matvec(Y)))
+    assert lhs == pytest.approx(rhs, rel=1e-5)
+    # pytree round trip preserves the sym flag
+    leaves, tree = jax.tree_util.tree_flatten(Ssym)
+    assert jax.tree_util.tree_unflatten(tree, leaves).sym
+
+
+def test_refined_solve_with_symmetric_matvec(system):
+    grid, A, b, order = system
+    S = StencilBlockEll.from_block_ell(A, order).symmetrized()
+    M = stencil_deflation_preconditioner(S, (100, 20))
+    B = to_soa(order, b, A.nd)
+    X, relres, iters = stencil_refined_solve(S, B, M, tol=1e-6,
+                                             inner_iters=200)
+    assert float(relres) <= 1e-6
+    # solution also solves the UNSYMMETRIZED assembled system to ~1e-6
+    # (the two operators differ within assembly roundoff)
+    x = np.asarray(from_soa(order, X))
+    A64 = A.with_blocks(A.blocks.astype(jnp.float64))
+    r = np.asarray(b, dtype=np.float64) - np.asarray(A64.matvec(jnp.asarray(x)))
+    true = np.linalg.norm(r) / np.linalg.norm(np.asarray(b, dtype=np.float64))
+    assert true <= 5e-6
+
+
 def test_jacobi_smoother_matches(system):
     grid, A, b, order = system
     S = StencilBlockEll.from_block_ell(A, order)
