@@ -17,7 +17,24 @@ import numpy as np
 from .gram_schmidt import gram_schmidt
 from .reductor import RBReductor, ReducedModel
 
-__all__ = ["AdaptiveResult", "adaptive_lrbms"]
+__all__ = ["AdaptiveResult", "adaptive_lrbms", "doerfler_marking"]
+
+
+def doerfler_marking(indicators: np.ndarray, theta: float) -> List[int]:
+    """Bulk-chasing (Doerfler) marking: the smallest set of subdomains whose
+    squared indicators sum to >= theta * total.  The standard marking of
+    adaptive FEM/LRBMS; with many subdomains the one-worst-per-iteration
+    strategy stalls (measured: flat trajectory on SPE10 [20 4 1], where 75 of
+    80 subdomains start with an empty basis because the force is 3 local
+    blobs and the localized rhs vanishes elsewhere)."""
+    ind = np.maximum(np.asarray(indicators, dtype=float), 0.0)
+    order = np.argsort(-ind, kind="stable")
+    csum = np.cumsum(ind[order])
+    total = csum[-1] if len(csum) else 0.0
+    if total <= 0.0:
+        return [int(np.argmax(ind))] if len(ind) else []
+    k = int(np.searchsorted(csum, theta * total)) + 1
+    return [int(s) for s in order[:k]]
 
 
 @dataclass
@@ -42,10 +59,16 @@ def adaptive_lrbms(
     solver_options: Optional[Dict] = None,
     track_true_errors: bool = False,
     verbose: bool = False,
+    marking="worst",
 ) -> AdaptiveResult:
     """Enrich per-subdomain bases adaptively for one target parameter mu.
 
     Requires the discretization's ms_grid to have oversampling_layers > 0.
+
+    ``marking``: "worst" enriches the single worst subdomain per iteration;
+    ``("doerfler", theta)`` enriches the Doerfler bulk set (all corrections
+    computed from the same current reduced solution — independent patch
+    solves).  With many subdomains use Doerfler marking: one-worst stalls.
     """
     from ..estimators.block_swipdg import BlockSWIPDGEstimators
 
@@ -99,13 +122,22 @@ def adaptive_lrbms(
         indicators = BlockSWIPDGEstimators.estimate_local(
             d, u_rb, estimator_type, estimator_parameters
         )
-        worst = int(np.argmax(indicators))
-        result.enriched_subdomains.append(worst)
+        if marking == "worst":
+            marked = [int(np.argmax(indicators))]
+            result.enriched_subdomains.append(marked[0])
+        else:
+            kind, theta = marking
+            if kind != "doerfler":
+                raise ValueError(f"unknown marking {marking!r}")
+            marked = doerfler_marking(indicators, float(theta))
+            result.enriched_subdomains.append(marked)
         locals_ = [d.localize_vector(u_rb, ss) for ss in range(S)]
-        delta = d.solve_for_local_correction(locals_, worst, mu_p,
-                                             options=solver_options)
-        stacked = jnp.concatenate([local_bases[worst], delta[None, :]])
-        local_bases[worst] = gram_schmidt(stacked, local_products[worst])
+        for ss in marked:
+            delta = d.solve_for_local_correction(locals_, ss, mu_p,
+                                                 options=solver_options)
+            stacked = (jnp.concatenate([local_bases[ss], delta[None, :]])
+                       if local_bases[ss].shape[0] else delta[None, :])
+            local_bases[ss] = gram_schmidt(stacked, local_products[ss])
         basis = globalize(local_bases)
         rm = reductor.reduce(basis)
     result.reduced_model = rm
