@@ -291,7 +291,7 @@ def build_spe10_bench(bisections: int = 4, maxiter: int = 300,
                     # plane-layout aggregation V-cycle (la/stencil_multigrid):
                     # fewer PCG iterations than two-level deflation at 192k
                     # (360 vs 400 measured), heavier per application
-                    from .stencil_multigrid import stencil_multigrid_preconditioner
+                    from .la.stencil_multigrid import stencil_multigrid_preconditioner
 
                     M = stencil_multigrid_preconditioner(
                         S, newton_schulz=newton_schulz, smoother=sm)
@@ -309,6 +309,7 @@ def build_spe10_bench(bisections: int = 4, maxiter: int = 300,
                     M = sm or jacobi_smoother(S)
             X, res, iters = stencil_refined_solve(
                 S, B, M, tol=tol, inner_iters=inner_iters,
+                outer_max=int(os.environ.get("BENCH_OUTER", "6")),
                 unroll=int(os.environ.get("BENCH_UNROLL", "4")))
             u = (X * s.astype(X.dtype)).reshape(-1)[jnp.asarray(_from_soa_g)]
             return u, res
@@ -349,6 +350,7 @@ def build_spe10_bench(bisections: int = 4, maxiter: int = 300,
                 M = sm or jacobi_smoother(S)
             X, res, iters = stencil_refined_solve(
                 S, B, M, tol=tol, inner_iters=inner_iters,
+                outer_max=int(os.environ.get("BENCH_OUTER", "6")),
                 unroll=int(os.environ.get("BENCH_UNROLL", "4")))
             return X.reshape(-1)[jnp.asarray(maps.from_soa)], res
 

@@ -668,6 +668,133 @@ def _block_tridiag_solve(B: jnp.ndarray, C: jnp.ndarray, R: jnp.ndarray,
     return out
 
 
+def _block_tridiag_factor(B: jnp.ndarray, C: jnp.ndarray,
+                          precision=None) -> list:
+    """Factor phase of block cyclic reduction: per-level elimination tensors
+    for `_block_tridiag_apply` with arbitrary later right-hand sides.
+
+    Unlike precomputing a dense inverse (`_coarse_inverse_bcr`), the factors
+    stay O(n m^2) — ~8 MB at (mx, my) = (200, 40) vs 256 MB for the dense
+    [8000, 8000] inverse — so each application streams ~30x less HBM, and
+    the solve is a direct structured elimination (backward-stable per level)
+    instead of an f32 dense inverse whose Newton-Schulz polish stalls at
+    n ~ 8000 on high-contrast coarse operators."""
+    hp = precision or jax.lax.Precision.HIGHEST
+
+    def mm(a, b):
+        return jnp.einsum("nij,njk->nik", a, b, precision=hp)
+
+    levels = []
+    while B.shape[0] > 1:
+        Binv_odd = jnp.linalg.inv(B[1::2])
+        CL = C[0::2]
+        CRo = C[1::2]
+        G = mm(CL, Binv_odd)
+        H = mm(jnp.swapaxes(CRo, -1, -2), Binv_odd)
+        T = mm(H, CRo)
+        B_new = B[0::2] - mm(G, jnp.swapaxes(CL, -1, -2))
+        B_new = B_new - jnp.concatenate([jnp.zeros_like(T[:1]), T[:-1]], axis=0)
+        C = -mm(G, CRo)
+        levels.append((Binv_odd, G, H, CL, CRo))
+        B = B_new
+    levels.append(jnp.linalg.inv(B[0]))
+    return levels
+
+
+def _block_tridiag_apply(levels: list, R: jnp.ndarray,
+                         precision=None) -> jnp.ndarray:
+    """Solve with precomputed `_block_tridiag_factor` levels; R [n, m, N]."""
+    hp = precision or jax.lax.Precision.HIGHEST
+
+    def mm(a, b):
+        return jnp.einsum("nij,njk->nik", a, b, precision=hp)
+
+    stack = []
+    for Binv_odd, G, H, CL, CRo in levels[:-1]:
+        R_odd = R[1::2]
+        HR = mm(H, R_odd)
+        R = (R[0::2] - mm(G, R_odd)
+             - jnp.concatenate([jnp.zeros_like(HR[:1]), HR[:-1]], axis=0))
+        stack.append(R_odd)
+    y = jnp.matmul(levels[-1], R[0], precision=hp)[None]
+    for (Binv_odd, G, H, CL, CRo), R_odd in zip(reversed(levels[:-1]),
+                                                reversed(stack)):
+        y_next = jnp.concatenate([y[1:], jnp.zeros_like(y[:1])], axis=0)
+        rhs_odd = (R_odd - mm(jnp.swapaxes(CL, -1, -2), y)
+                   - mm(CRo, y_next))
+        y_odd = mm(Binv_odd, rhs_odd)
+        out = jnp.zeros((2 * y.shape[0],) + y.shape[1:], dtype=y.dtype)
+        y = out.at[0::2].set(y).at[1::2].set(y_odd)
+    return y
+
+
+def _coarse_inverse_bcr_factored(E: jnp.ndarray, mx: int, my: int,
+                                 refine: int = 1) -> Callable:
+    """Coarse solve via factored block cyclic reduction (see
+    `_block_tridiag_factor`): per-application direct solves on the
+    diagonally-scaled operator.  Measured on a cond ~2e7 SPD
+    block-tridiagonal: rel residual 1.3e-3 vs 8-20 (!) for the dense
+    f32-inverse + Newton-Schulz paths, whose polish DIVERGES once the f32
+    seed error reaches ||I - E X0|| >= 1 — the mechanism behind the round-3
+    "exact (200,40) two-level converges worse" measurement.  ``refine``
+    defect-correction passes run with an f64 residual when x64 is enabled
+    (squaring the f32 solve error); in pure f32 they are skipped — the f32
+    residual of a ~1e-3-accurate solve is noise-limited (measured worse)."""
+    hp = jax.lax.Precision.HIGHEST
+    wdt = E.dtype  # elimination dtype follows the operator (f32 production)
+    d = jnp.sqrt(jnp.maximum(jnp.abs(jnp.diag(E)), 1e-30))
+    Es = ((E / d[:, None]) / d[None, :]).astype(wdt)
+    E4 = Es.reshape(mx, my, mx, my)
+    ix = np.arange(mx)
+    B = E4[ix, :, ix, :]
+    C = jnp.concatenate(
+        [E4[ix[:-1], :, ix[:-1] + 1, :], jnp.zeros((1, my, my), Es.dtype)])
+    n2 = 1 << (mx - 1).bit_length()
+    if n2 != mx:
+        eye = jnp.broadcast_to(jnp.eye(my, dtype=Es.dtype), (n2 - mx, my, my))
+        B2 = jnp.concatenate([B, eye])
+        C2 = jnp.concatenate([C, jnp.zeros((n2 - mx, my, my), Es.dtype)])
+    else:
+        B2, C2 = B, C
+    levels = _block_tridiag_factor(B2, C2)
+
+    Cp = jnp.concatenate([jnp.zeros_like(C[:1]), C[:-1]], axis=0)
+
+    def tri_matvec(y, dt):  # y [mx, my, 1] -> block-tridiag E_s y, dtype dt
+        yn = jnp.concatenate([y[1:], jnp.zeros_like(y[:1])], axis=0)
+        yp = jnp.concatenate([jnp.zeros_like(y[:1]), y[:-1]], axis=0)
+        return (jnp.einsum("nij,njk->nik", B.astype(dt), y, precision=hp)
+                + jnp.einsum("nij,njk->nik", C.astype(dt), yn, precision=hp)
+                + jnp.einsum("nji,njk->nik", Cp.astype(dt), yp, precision=hp))
+
+    def solve(rc):
+        # refinement residuals in f64 when available: the f32 residual of a
+        # ~1e-3-accurate first solve is itself noise-limited (measured:
+        # refine in f32 makes accuracy WORSE), while one f64-residual pass
+        # squares the error (~1e-3 -> ~1e-6) for the price of tiny
+        # [n2, my, my] einsums.  The x64 flag is read HERE (apply/trace
+        # time), not at build time: preconditioner builds run inside an
+        # enable_x64(False) scope while the solve traces outside it.
+        rdt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        nref = 0 if (rdt == jnp.float32 or wdt != jnp.float32) else refine
+        r = (rc / d).astype(wdt).reshape(mx, my, 1)
+        if n2 != mx:
+            r2 = jnp.concatenate([r, jnp.zeros((n2 - mx, my, 1), wdt)])
+        else:
+            r2 = r
+        y = _block_tridiag_apply(levels, r2)[:mx]
+        for _ in range(nref):
+            res = (r.astype(rdt) - tri_matvec(y.astype(rdt), rdt)
+                   ).astype(wdt)
+            if n2 != mx:
+                res = jnp.concatenate(
+                    [res, jnp.zeros((n2 - mx, my, 1), wdt)])
+            y = y + _block_tridiag_apply(levels, res)[:mx]
+        return (y.reshape(-1) / d).astype(rc.dtype)
+
+    return solve
+
+
 def _coarse_inverse_bcr(E: jnp.ndarray, mx: int, my: int,
                         newton_schulz: int = 2) -> Callable:
     """Dense symmetrized inverse of the diagonally-scaled coarse operator
@@ -744,7 +871,9 @@ def _middle_inverse(bands1: dict, my1: int, mx1: int, macro_shape,
     gy, gx = my1 // my2, mx1 // mx2
     bands2 = _aggregate_bands(bands1, my1, mx1, gy, gx)
     E2 = _bands_to_dense(bands2, my2, mx2)
-    if gx >= 2:
+    if gx >= 2 and mx2 * my2 > 4096:
+        coarse2 = _coarse_inverse_bcr_factored(E2, mx2, my2)
+    elif gx >= 2:
         coarse2 = _coarse_inverse_bcr(E2, mx2, my2, newton_schulz)
     else:
         coarse2 = _coarse_inverse(E2, newton_schulz)
@@ -823,7 +952,13 @@ def stencil_deflation_preconditioner(
         if smoother is None:
             smoother = jacobi_smoother(A)
         E = _coarse_E_banded(A, agg)
-        if agg.fx >= 2:
+        if agg.fx >= 2 and agg.mx * agg.my > 4096:
+            # large coarse space: the precomputed dense inverse would stream
+            # n_agg^2 f32 per application (256 MB at (200,40)) and its f32
+            # LU/CR + Newton-Schulz polish loses accuracy on high-contrast
+            # operators at n ~ 8000 — use factored-CR direct solves instead
+            coarse = _coarse_inverse_bcr_factored(E, agg.mx, agg.my)
+        elif agg.fx >= 2:
             # block-cyclic-reduction inverse: with >=2 fine cells per
             # aggregate in x the |dx|<=2 stencil shifts cross at most ONE
             # macro boundary, so the coarse lattice is block-tridiagonal

@@ -1,6 +1,7 @@
 """Phase breakdown of the 3-level stencil2 bench at large sizes.
 
 Usage: python scripts/bench_phases_3lvl.py [bisections=8] [inner=300] [cheb=2]
+         [macro=100,20] [mid=auto|none|mx,my] [ns=2]
 
 Times assembly and the preconditioner-build + refined solve separately and
 reports the inner-iteration count, so the per-iteration cost at 3M DoF can be
@@ -56,6 +57,9 @@ def main():
     bis = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     inner = int(sys.argv[2]) if len(sys.argv) > 2 else 300
     cheb = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    macro_arg = sys.argv[4] if len(sys.argv) > 4 else None
+    mid_arg = sys.argv[5] if len(sys.argv) > 5 else "auto"
+    ns = int(sys.argv[6]) if len(sys.argv) > 6 else 2
     symmv = os.environ.get("PH_SYMMV", "0") == "1"
     grid = alu_cube_grid((0.0, 0.0), (5.0, 1.0), (100, 20), refinements=bis)
     print(f"bisections={bis} cells={grid.num_cells} dofs={grid.num_cells*3} "
@@ -72,10 +76,16 @@ def main():
     splan = build_structured_assembly(grid, order, binfo)
     dfac_pre = precompute_coefficient(splan, dfac)
     KY, KX = order.lattice
-    macro = (MODEL1_NX, MODEL1_NZ)
+    macro = (tuple(int(v) for v in macro_arg.split(","))
+             if macro_arg else (MODEL1_NX, MODEL1_NZ))
     fy, fx = KY // MODEL1_NZ, KX // MODEL1_NX
-    mid = (KX // 4, KY // 4) if min(fx, fy) >= 8 else None
-    print(f"lattice=({KY},{KX}) macro={macro} mid={mid}", flush=True)
+    if mid_arg == "auto":
+        mid = (KX // 4, KY // 4) if min(fx, fy) >= 8 else None
+    elif mid_arg == "none":
+        mid = None
+    else:
+        mid = tuple(int(v) for v in mid_arg.split(","))
+    print(f"lattice=({KY},{KX}) macro={macro} mid={mid} ns={ns}", flush=True)
 
     @jax.jit
     def asm(field):
@@ -95,8 +105,9 @@ def main():
             if symmv:
                 S = S.symmetrized()
             M = stencil_deflation_preconditioner(
-                S, macro, newton_schulz=2, mid_shape=mid, mid_cheb=cheb)
+                S, macro, newton_schulz=ns, mid_shape=mid, mid_cheb=cheb)
         return stencil_refined_solve(S, B, M, tol=1e-6, inner_iters=inner,
+                                     outer_max=int(os.environ.get("PH_OUTER", "6")),
                                      unroll=4)
 
     @jax.jit

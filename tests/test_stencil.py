@@ -229,6 +229,67 @@ def test_block_tridiag_solve_random():
     np.testing.assert_allclose(y_bcr, y_lu, rtol=0, atol=1e-5 * np.abs(yt).max())
 
 
+def test_factored_bcr_beats_dense_inverse_on_high_contrast():
+    """Factored-CR direct solves stay accurate where the dense f32 inverse +
+    Newton-Schulz path diverges: on a cond ~1e7 SPD block tridiagonal
+    (block scales 1e-3..1e3) the NS polish amplifies the f32 seed error
+    (||I - E X0|| > 1) — the mechanism behind round 3's "exact (200,40)
+    two-level converges worse" measurement at 3M DoF."""
+    from dune_hdd_tpu.la.stencil import (
+        _coarse_inverse_bcr, _coarse_inverse_bcr_factored)
+
+    rng = np.random.default_rng(0)
+    mx, my = 13, 5
+    n = mx * my
+    A = np.zeros((n, n))
+    for i in range(mx):
+        blk = rng.standard_normal((my, my))
+        blk = blk @ blk.T + my * np.eye(my)
+        s = 10.0 ** rng.integers(-3, 4)
+        A[i*my:(i+1)*my, i*my:(i+1)*my] = blk * s
+        if i + 1 < mx:
+            Ci = 0.3 * s * rng.standard_normal((my, my))
+            A[i*my:(i+1)*my, (i+1)*my:(i+2)*my] = Ci
+            A[(i+1)*my:(i+2)*my, i*my:(i+1)*my] = Ci.T
+    w = np.linalg.eigvalsh(A)
+    A += (abs(min(w.min(), 0.0)) + 1e-3) * np.eye(n)
+    E = jnp.asarray(A, dtype=jnp.float32)
+    b = rng.standard_normal(n)
+    bn = np.linalg.norm(b)
+
+    def rel_res(solve):
+        x = np.asarray(solve(jnp.asarray(b, jnp.float32)), dtype=np.float64)
+        return np.linalg.norm(A @ x - b) / bn
+
+    r_fact = rel_res(_coarse_inverse_bcr_factored(E, mx, my))
+    r_dense = rel_res(_coarse_inverse_bcr(E, mx, my, newton_schulz=2))
+    assert r_fact < 1e-2, r_fact           # direct solves stay usable
+    assert r_dense > 10 * r_fact, (r_fact, r_dense)  # NS path degrades
+
+
+def test_factored_bcr_matches_dense_solve_random():
+    """Factored CR == dense solve on a well-conditioned block tridiagonal
+    (same system as test_block_tridiag_solve_random)."""
+    from dune_hdd_tpu.la.stencil import _coarse_inverse_bcr_factored
+
+    rng = np.random.default_rng(0)
+    mx, my = 10, 4
+    n = mx * my
+    A = np.zeros((n, n))
+    for i in range(mx):
+        Bi = rng.standard_normal((my, my))
+        A[i*my:(i+1)*my, i*my:(i+1)*my] = Bi @ Bi.T + 5 * np.eye(my)
+        if i + 1 < mx:
+            Ci = 0.3 * rng.standard_normal((my, my))
+            A[i*my:(i+1)*my, (i+1)*my:(i+2)*my] = Ci
+            A[(i+1)*my:(i+2)*my, i*my:(i+1)*my] = Ci.T
+    E = jnp.asarray(A)
+    r = jnp.asarray(rng.standard_normal(n))
+    yt = np.linalg.solve(A, np.asarray(r))
+    y = np.asarray(_coarse_inverse_bcr_factored(E, mx, my)(r))
+    np.testing.assert_allclose(y, yt, rtol=0, atol=1e-5 * np.abs(yt).max())
+
+
 def test_coarse_bcr_on_spe10_coarse_operator(system):
     """BCR inverse quality matches the LU path on the high-contrast SPE10
     coarse operator (the production preconditioner build path)."""
