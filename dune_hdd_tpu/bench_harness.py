@@ -310,7 +310,11 @@ def build_spe10_bench(bisections: int = 4, maxiter: int = 300,
             X, res, iters = stencil_refined_solve(
                 S, B, M, tol=tol, inner_iters=inner_iters,
                 outer_max=int(os.environ.get("BENCH_OUTER", "6")),
-                unroll=int(os.environ.get("BENCH_UNROLL", "4")))
+                unroll=int(os.environ.get("BENCH_UNROLL", "4")),
+                dot_dtype=(jnp.float64 if os.environ.get(
+                    "BENCH_DOTS", "f32") == "f64" else None),
+                vec_dtype=(jnp.float64 if os.environ.get(
+                    "BENCH_VEC", "f32") == "f64" else None))
             u = (X * s.astype(X.dtype)).reshape(-1)[jnp.asarray(_from_soa_g)]
             return u, res
 
@@ -351,7 +355,11 @@ def build_spe10_bench(bisections: int = 4, maxiter: int = 300,
             X, res, iters = stencil_refined_solve(
                 S, B, M, tol=tol, inner_iters=inner_iters,
                 outer_max=int(os.environ.get("BENCH_OUTER", "6")),
-                unroll=int(os.environ.get("BENCH_UNROLL", "4")))
+                unroll=int(os.environ.get("BENCH_UNROLL", "4")),
+                dot_dtype=(jnp.float64 if os.environ.get(
+                    "BENCH_DOTS", "f32") == "f64" else None),
+                vec_dtype=(jnp.float64 if os.environ.get(
+                    "BENCH_VEC", "f32") == "f64" else None))
             return X.reshape(-1)[jnp.asarray(maps.from_soa)], res
 
         @jax.jit

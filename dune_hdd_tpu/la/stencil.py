@@ -576,14 +576,14 @@ def _coarse_E(A: StencilBlockEll, agg: _Aggregation) -> jnp.ndarray:
     return E.reshape(n_agg, n_agg)
 
 
-def _coarse_E_banded(A: StencilBlockEll, agg: _Aggregation) -> jnp.ndarray:
-    """E = Z^T A Z without the 256k-element scatter of ``_coarse_E``: each
-    (subclass, slot) family contributes to at most 4 relative aggregate
-    offsets (crossing 0/1 macro boundaries per axis), so E assembles from
-    ~100 masked reshape-sums + 9 static band scatters of n_agg elements."""
+def _coarse_bands(A: StencilBlockEll, agg: _Aggregation) -> dict:
+    """Bands of E = Z^T A Z keyed by aggregate offset (vy, vx), each a
+    [n_agg] vector in x-major id = ax*my + ay ordering: each (subclass,
+    slot) family contributes to at most 4 relative aggregate offsets
+    (crossing 0/1 macro boundaries per axis), so the bands assemble from
+    ~100 masked reshape-sums — never materializing E."""
     KY, KX = A.lattice
-    mx, my, fy, fx = agg.mx, agg.my, agg.fy, agg.fx
-    n_agg = mx * my
+    fy, fx = agg.fy, agg.fx
     iy = np.arange(KY)[:, None]
     ix = np.arange(KX)[None, :]
     P = A.planes.sum(axis=(1, 2))  # [4, 8, KY, KX]
@@ -610,7 +610,14 @@ def _coarse_E_banded(A: StencilBlockEll, agg: _Aggregation) -> jnp.ndarray:
                     field = jnp.zeros((8, KY, KX), dtype=Pk.dtype)
                     field = field.at[k].set(Pk * mask)
                     add_band(vy, vx, agg.aggsum(field))
+    return bands
 
+
+def _coarse_E_banded(A: StencilBlockEll, agg: _Aggregation) -> jnp.ndarray:
+    """Dense E = Z^T A Z from `_coarse_bands` (small coarse spaces only)."""
+    mx, my = agg.mx, agg.my
+    n_agg = mx * my
+    bands = _coarse_bands(A, agg)
     E = jnp.zeros((n_agg, n_agg), dtype=A.planes.dtype)
     a = np.arange(n_agg)
     amx, amy = a // my, a % my
@@ -622,6 +629,40 @@ def _coarse_E_banded(A: StencilBlockEll, agg: _Aggregation) -> jnp.ndarray:
         cols = b[valid]
         E = E.at[jnp.asarray(rows), jnp.asarray(cols)].add(vec[jnp.asarray(rows)])
     return E
+
+
+def _bands_to_blocktridiag(bands: dict, mx: int, my: int):
+    """(B, C) [mx, my, my] block-tridiagonal form of banded E (x-major
+    ordering; requires |vx| <= 1, i.e. aggregation factor fx >= 2).  C is
+    symmetrized from the +1/-1 bands so the CR factorization's C/C^T
+    convention holds exactly."""
+    dt = next(iter(bands.values())).dtype
+    B = jnp.zeros((mx, my, my), dtype=dt)
+    C_up = jnp.zeros((mx, my, my), dtype=dt)
+    C_lo = jnp.zeros((mx, my, my), dtype=dt)
+    ay = np.arange(my)
+    for (vy, vx), vec in bands.items():
+        if abs(vx) > 1:
+            raise ValueError(
+                f"band vx={vx}: coarse lattice not block-tridiagonal "
+                "(needs aggregation factor fx >= 2)")
+        V = vec.reshape(mx, my)
+        by = ay + vy
+        ok = (by >= 0) & (by < my)
+        r, c = ay[ok], by[ok]
+        if vx == 0:
+            B = B.at[:, r, c].add(V[:, r])
+        elif vx == 1:
+            # row (ax, ay) -> col (ax+1, ay+vy); stored at block ax
+            C_up = C_up.at[:-1, r, c].add(V[:-1, r])
+        else:
+            # row (ax, ay) -> col (ax-1, ay+vy): the same physical entry as
+            # C[ax-1][ay+vy, ay] in the "C_i couples i -> i+1" convention
+            C_lo = C_lo.at[:-1, c, r].add(V[1:, r])
+    # average the two independently-assembled copies of each coupling block
+    # (equal up to assembly rounding since E is symmetric)
+    C = 0.5 * (C_up + C_lo)
+    return B, C
 
 
 def _block_tridiag_solve(B: jnp.ndarray, C: jnp.ndarray, R: jnp.ndarray,
@@ -726,6 +767,57 @@ def _block_tridiag_apply(levels: list, R: jnp.ndarray,
         out = jnp.zeros((2 * y.shape[0],) + y.shape[1:], dtype=y.dtype)
         y = out.at[0::2].set(y).at[1::2].set(y_odd)
     return y
+
+
+def _factored_bcr_solve_from_blocks(B: jnp.ndarray, C: jnp.ndarray,
+                                    mx: int, my: int,
+                                    refine: int = 1) -> Callable:
+    """Factored-CR solve from block-tridiagonal (B, C) directly (no dense
+    E anywhere — the (400,80) coarse space at 3M DoF would densify to
+    4 GB).  Blockwise symmetric diagonal scaling + `_block_tridiag_factor`;
+    see `_coarse_inverse_bcr_factored` for the accuracy rationale."""
+    hp = jax.lax.Precision.HIGHEST
+    wdt = B.dtype
+    d = jnp.sqrt(jnp.maximum(jnp.abs(jnp.einsum("nii->ni", B)), 1e-30))
+    d_next = jnp.concatenate([d[1:], jnp.ones_like(d[:1])], axis=0)
+    Bs = (B / (d[:, :, None] * d[:, None, :])).astype(wdt)
+    Cs = (C / (d[:, :, None] * d_next[:, None, :])).astype(wdt)
+    n2 = 1 << (mx - 1).bit_length()
+    if n2 != mx:
+        eye = jnp.broadcast_to(jnp.eye(my, dtype=wdt), (n2 - mx, my, my))
+        B2 = jnp.concatenate([Bs, eye])
+        C2 = jnp.concatenate([Cs, jnp.zeros((n2 - mx, my, my), wdt)])
+    else:
+        B2, C2 = Bs, Cs
+    levels = _block_tridiag_factor(B2, C2)
+    Cp = jnp.concatenate([jnp.zeros_like(Cs[:1]), Cs[:-1]], axis=0)
+
+    def tri_matvec(y, dt):
+        yn = jnp.concatenate([y[1:], jnp.zeros_like(y[:1])], axis=0)
+        yp = jnp.concatenate([jnp.zeros_like(y[:1]), y[:-1]], axis=0)
+        return (jnp.einsum("nij,njk->nik", Bs.astype(dt), y, precision=hp)
+                + jnp.einsum("nij,njk->nik", Cs.astype(dt), yn, precision=hp)
+                + jnp.einsum("nji,njk->nik", Cp.astype(dt), yp, precision=hp))
+
+    def solve(rc):
+        rdt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        nref = 0 if (rdt == jnp.float32 or wdt != jnp.float32) else refine
+        r = (rc.reshape(mx, my) / d).astype(wdt)[:, :, None]
+        if n2 != mx:
+            r2 = jnp.concatenate([r, jnp.zeros((n2 - mx, my, 1), wdt)])
+        else:
+            r2 = r
+        y = _block_tridiag_apply(levels, r2)[:mx]
+        for _ in range(nref):
+            res = (r.astype(rdt) - tri_matvec(y.astype(rdt), rdt)
+                   ).astype(wdt)
+            if n2 != mx:
+                res = jnp.concatenate(
+                    [res, jnp.zeros((n2 - mx, my, 1), wdt)])
+            y = y + _block_tridiag_apply(levels, res)[:mx]
+        return ((y[:, :, 0] / d).reshape(-1)).astype(rc.dtype)
+
+    return solve
 
 
 def _coarse_inverse_bcr_factored(E: jnp.ndarray, mx: int, my: int,
@@ -951,14 +1043,18 @@ def stencil_deflation_preconditioner(
             return None
         if smoother is None:
             smoother = jacobi_smoother(A)
-        E = _coarse_E_banded(A, agg)
         if agg.fx >= 2 and agg.mx * agg.my > 4096:
-            # large coarse space: the precomputed dense inverse would stream
-            # n_agg^2 f32 per application (256 MB at (200,40)) and its f32
-            # LU/CR + Newton-Schulz polish loses accuracy on high-contrast
-            # operators at n ~ 8000 — use factored-CR direct solves instead
-            coarse = _coarse_inverse_bcr_factored(E, agg.mx, agg.my)
+            # large coarse space: never densify (the (400,80) coarse at 3M
+            # would be a 4 GB dense E); the precomputed dense inverse would
+            # also stream n_agg^2 f32 per application (256 MB at (200,40))
+            # and its f32 LU/CR + Newton-Schulz polish loses accuracy on
+            # high-contrast operators at n ~ 8000 — bands -> block-tridiag
+            # -> factored-CR direct solves
+            bands = _coarse_bands(A, agg)
+            Bb, Cb = _bands_to_blocktridiag(bands, agg.mx, agg.my)
+            coarse = _factored_bcr_solve_from_blocks(Bb, Cb, agg.mx, agg.my)
         elif agg.fx >= 2:
+            E = _coarse_E_banded(A, agg)
             # block-cyclic-reduction inverse: with >=2 fine cells per
             # aggregate in x the |dx|<=2 stencil shifts cross at most ONE
             # macro boundary, so the coarse lattice is block-tridiagonal
@@ -968,6 +1064,7 @@ def stencil_deflation_preconditioner(
         else:
             # fx == 1: |dx|=2 shifts produce +-2 macro-column couplings that
             # BCR would silently drop — use the dense LU inverse instead
+            E = _coarse_E_banded(A, agg)
             coarse = _coarse_inverse(E, newton_schulz)
     nd = A.nd
 
@@ -1030,30 +1127,60 @@ def stencil_deflation_preconditioner(
 
 def stencil_pcg(A: StencilBlockEll, B: jnp.ndarray, M: Callable,
                 rtol: float = 1e-5, maxiter: int = 150,
-                unroll: int = 4):
+                unroll: int = 4, dot_dtype=None, vec_dtype=None):
     """f32 PCG in SoA layout; returns (X, iterations).  The rhs is assumed
-    pre-scaled to ||B|| = 1 so the recurrence residual is relative."""
+    pre-scaled to ||B|| = 1 so the recurrence residual is relative.
+
+    Mixed-precision knobs (3M-DoF forensics, scripts/diag_3m_precision.py:
+    plain f32 needs 1500 inner iterations where all-f64 needs 422 — the f32
+    Krylov *vector recurrence* is the wall, not the matvec or the
+    preconditioner):
+
+    ``vec_dtype``: dtype of the Krylov vectors X/R/Z/P and their axpy
+    updates.  f64 vectors with the matvec and preconditioner still applied
+    in A's dtype recover the f64 iteration count (vec64 cell: 800 vs 1500),
+    while on TPU emulated-f64 axpys cost only ~1.36x f32 and the matvec
+    stays f32.  Requires jax_enable_x64.
+
+    ``dot_dtype``: accumulation dtype for the three inner products.  On TPU
+    an emulated-f64 dot reduction is ~12x f32 (the one pathological f64
+    op), so dots default to A's dtype; f64 dots alone do NOT fix true
+    progress (dots64 cell: recurrence converges but true residual stalls at
+    3.8e-2)."""
+    adt = B.dtype          # matvec / preconditioner dtype
+    vdt = vec_dtype or adt  # Krylov vector dtype
+    mixed = vdt != adt
+    B = B.astype(vdt)
     X = jnp.zeros_like(B)
-    Z = M(B)
+    Z = M(B.astype(adt) if mixed else B).astype(vdt)
     P = Z
-    rz = jnp.vdot(B, Z)
+    dt = dot_dtype or adt
+
+    def vdot(a, b):
+        return jnp.vdot(a.astype(dt), b.astype(dt))
+
+    rz = vdot(B, Z)
     R = B
-    stop2 = jnp.asarray(rtol * rtol, dtype=B.dtype)
+    stop2 = jnp.asarray(rtol * rtol, dtype=dt)
+    zero = jnp.asarray(0.0, dtype=dt)
+    one_ = jnp.asarray(1.0, dtype=dt)
 
     def cond(state):
         X, R, Z, P, rz, k = state
-        return (jnp.vdot(R, R) > stop2) & (k < maxiter)
+        return (vdot(R, R) > stop2) & (k < maxiter)
 
     def one(state):
         X, R, Z, P, rz, k = state
-        AP = A.matvec(P)
-        pap = jnp.vdot(P, AP)
-        alpha = jnp.where(pap > 0, rz / jnp.where(pap > 0, pap, 1.0), 0.0)
+        AP = A.matvec(P.astype(adt) if mixed else P).astype(vdt)
+        pap = vdot(P, AP)
+        alpha = jnp.where(pap > 0, rz / jnp.where(pap > 0, pap, one_),
+                          zero).astype(vdt)
         X = X + alpha * P
         R = R - alpha * AP
-        Z = M(R)
-        rz_new = jnp.vdot(R, Z)
-        beta = jnp.where(rz > 0, rz_new / jnp.where(rz > 0, rz, 1.0), 0.0)
+        Z = M(R.astype(adt) if mixed else R).astype(vdt)
+        rz_new = vdot(R, Z)
+        beta = jnp.where(rz > 0, rz_new / jnp.where(rz > 0, rz, one_),
+                         zero).astype(vdt)
         P = Z + beta * P
         return X, R, Z, P, rz_new, k + 1
 
@@ -1075,11 +1202,15 @@ def stencil_refined_solve(
     inner_rtol: float = 1e-5,
     outer_max: int = 6,
     unroll: int = 4,
+    dot_dtype=None,
+    vec_dtype=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """f32 deflated PCG inside f64 iterative refinement (the exact image of
     la/deflation.refined_deflated_solve in the plane layout).  Returns
     (X float64, true relative residual, total inner iterations).  Requires
-    jax_enable_x64 for the outer residual."""
+    jax_enable_x64 for the outer residual.  ``dot_dtype``/``vec_dtype``
+    forward to `stencil_pcg` (f64 Krylov vectors fix the large-size f32
+    iteration blowup; see its docstring)."""
     f32 = jnp.float32
     A64 = A.astype(jnp.float64)
     B64 = B.astype(jnp.float64)
@@ -1096,7 +1227,8 @@ def stencil_refined_solve(
         scale = jnp.linalg.norm(R64)
         dX, ki = stencil_pcg(A, (R64 / scale).astype(f32), M,
                              rtol=inner_rtol, maxiter=inner_iters,
-                             unroll=unroll)
+                             unroll=unroll, dot_dtype=dot_dtype,
+                             vec_dtype=vec_dtype)
         X = X + dX.astype(jnp.float64) * scale
         rnorm = jnp.linalg.norm(B64 - A64.matvec(X))
         return X, rnorm, k + 1, it + ki

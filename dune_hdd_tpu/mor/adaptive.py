@@ -60,6 +60,7 @@ def adaptive_lrbms(
     track_true_errors: bool = False,
     verbose: bool = False,
     marking="worst",
+    marking_estimator_type: Optional[str] = None,
 ) -> AdaptiveResult:
     """Enrich per-subdomain bases adaptively for one target parameter mu.
 
@@ -69,7 +70,16 @@ def adaptive_lrbms(
     ``("doerfler", theta)`` enriches the Doerfler bulk set (all corrections
     computed from the same current reduced solution — independent patch
     solves).  With many subdomains use Doerfler marking: one-worst stalls.
-    """
+
+    ``marking_estimator_type``: indicator used for MARKING (stopping always
+    uses ``estimator_type``).  On high-contrast cases with localized forcing
+    the star residual term concentrates the eta_OS2014_* indicators on the
+    force-support subdomains while the true error lives elsewhere (measured
+    on SPE10 [20 4 1]: oracle marking converges, star marking stalls —
+    scripts/diag_adaptive_spe10_deep.py); marking on a localization-faithful
+    component (e.g. "eta_DF_OS2014") decouples where-to-enrich from the
+    certified stopping bound, like the discrete localization study's
+    indicator choice (OS2014_localization_study.cc:90-136)."""
     from ..estimators.block_swipdg import BlockSWIPDGEstimators
 
     d = block_disc
@@ -120,7 +130,8 @@ def adaptive_lrbms(
         if eta <= target_estimate or it == max_enrichments:
             break
         indicators = BlockSWIPDGEstimators.estimate_local(
-            d, u_rb, estimator_type, estimator_parameters
+            d, u_rb, marking_estimator_type or estimator_type,
+            estimator_parameters
         )
         if marking == "worst":
             marked = [int(np.argmax(indicators))]

@@ -106,9 +106,12 @@ def main():
                 S = S.symmetrized()
             M = stencil_deflation_preconditioner(
                 S, macro, newton_schulz=ns, mid_shape=mid, mid_cheb=cheb)
-        return stencil_refined_solve(S, B, M, tol=1e-6, inner_iters=inner,
-                                     outer_max=int(os.environ.get("PH_OUTER", "6")),
-                                     unroll=4)
+        return stencil_refined_solve(
+            S, B, M, tol=1e-6, inner_iters=inner,
+            outer_max=int(os.environ.get("PH_OUTER", "6")),
+            unroll=4,
+            dot_dtype=(jnp.float64 if os.environ.get("PH_DOTS", "f32") == "f64"
+                       else None))
 
     @jax.jit
     def mv(S, X):

@@ -97,17 +97,123 @@ def main():
         r = float(jnp.linalg.norm(B64 / bn - S64.matvec(X.astype(jnp.float64))))
         print(f"{mode} inner: iters={int(it)} true_rel={r:.3e} "
               f"wall={time.time()-t0:.0f}s", flush=True)
-    else:
-        # production scheme: f32 inner sweeps inside f64 refinement, at the
-        # given restart cadence
+    elif mode in ("dots64", "vec64", "vec64d32", "mv32"):
+        # mixed-precision PCG variants isolating WHICH f32 operation drives
+        # the 3M iteration blowup:
+        #   dots64 — f32 vectors/matvec/M, f64 inner products only
+        #   vec64  — f64 vectors & dots, f32 matvec and f32 M
+        #   mv32   — like vec64 but ALSO f32-truncated residual updates
+        f32, f64 = jnp.float32, jnp.float64
+        b_ = B64 / bn
+        t0 = time.time()
+        if mode == "dots64":
+            X = jnp.zeros_like(B)
+            R = b_.astype(f32)
+            Z = M32(R)
+            P = Z
+            rz = jnp.vdot(R.astype(f64), Z.astype(f64))
+            it = 0
+            while it < 6 * inner:
+                AP = S.matvec(P)
+                pap = float(jnp.vdot(P.astype(f64), AP.astype(f64)))
+                alpha = jnp.float32(float(rz) / pap)
+                X = X + alpha * P
+                R = R - alpha * AP
+                if float(jnp.vdot(R.astype(f64), R.astype(f64))) < 1e-12:
+                    it += 1
+                    break
+                Z = M32(R)
+                rz_new = jnp.vdot(R.astype(f64), Z.astype(f64))
+                beta = jnp.float32(float(rz_new) / float(rz))
+                P = Z + beta * P
+                rz = rz_new
+                it += 1
+        else:
+            d32 = mode == "vec64d32"  # dots on f32 casts of f64 vectors
+
+            def vd(a, b):
+                if d32:
+                    return jnp.vdot(a.astype(f32), b.astype(f32))
+                return jnp.vdot(a, b)
+
+            X = jnp.zeros_like(b_)
+            R = b_
+            Z = M32(R.astype(f32)).astype(f64)
+            P = Z
+            rz = vd(R, Z)
+            it = 0
+            while it < 6 * inner:
+                AP = S.matvec(P.astype(f32)).astype(f64)
+                pap = float(vd(P, AP))
+                alpha = float(rz) / pap
+                X = X + alpha * P
+                R = R - alpha * AP
+                if mode == "mv32":
+                    R = R.astype(f32).astype(f64)
+                if float(vd(R, R)) < 1e-12:
+                    it += 1
+                    break
+                Z = M32(R.astype(f32)).astype(f64)
+                rz_new = vd(R, Z)
+                beta = float(rz_new) / float(rz)
+                P = Z + beta * P
+                rz = rz_new
+                it += 1
+        r = float(jnp.linalg.norm(b_ - S64.matvec(X.astype(f64))))
+        print(f"{mode}: iters={it} true_rel={r:.3e} "
+              f"wall={time.time()-t0:.0f}s", flush=True)
+    elif mode == "mvdiff":
+        # difference-form matvec: y_i = sum W_ij (x_j - x_i) + x_i rowsum_i.
+        # Algebraically identical; numerically the products are O(h grad x)
+        # instead of O(x), killing the cancellation amplification (~h^-2)
+        # that caps the f32 rate at large sizes.
         from dune_hdd_tpu.la.stencil import stencil_refined_solve
 
+        class DiffMV:
+            def __init__(self, Sin):
+                self.S = Sin
+                self.rs = Sin.planes.sum(axis=(0, 2))  # [nd, 8, KY, KX]
+
+            def matvec(self, Xv):
+                Sv = self.S
+                fields = Sv.neighbor_fields(Xv)
+                acc = []
+                for i in range(Sv.nd):
+                    t = None
+                    for s_ in range(4):
+                        for j in range(Sv.nd):
+                            c = Sv.planes[s_, i, j] * (fields[s_][j] - Xv[i])
+                            t = c if t is None else t + c
+                    acc.append(t + Xv[i] * self.rs[i])
+                return jnp.stack(acc, axis=0)
+
+            def astype(self, dt):
+                return DiffMV(self.S.astype(dt))
+
+        t0 = time.time()
+        X, res, it = stencil_refined_solve(
+            DiffMV(S), B, M32, tol=1e-6, inner_iters=inner, outer_max=6,
+            unroll=1)
+        print(f"mvdiff inner={inner}: iters={int(it)} "
+              f"true_rel={float(res):.3e} wall={time.time()-t0:.0f}s",
+              flush=True)
+    else:
+        # production scheme: f32 inner sweeps inside f64 refinement, at the
+        # given restart cadence; "Nv64" = N outer sweeps with f64 Krylov
+        # vectors in the inner PCG (vec_dtype), f32 matvec/M/dots
+        from dune_hdd_tpu.la.stencil import stencil_refined_solve
+
+        vdt = None
+        if mode.endswith("v64"):
+            vdt = jnp.float64
+            mode = mode[:-3]
         outer = int(mode)
         t0 = time.time()
         X, res, it = stencil_refined_solve(
             S, B, M32, tol=1e-6, inner_iters=inner, outer_max=outer,
-            unroll=1)
-        print(f"f32 inner={inner} outer<={outer}: iters={int(it)} "
+            unroll=1, vec_dtype=vdt)
+        tag = "vec64" if vdt is not None else "f32"
+        print(f"{tag} inner={inner} outer<={outer}: iters={int(it)} "
               f"true_rel={float(res):.3e} wall={time.time()-t0:.0f}s",
               flush=True)
 

@@ -204,6 +204,64 @@ def test_refined_solve_reaches_true_tol(system, smoother):
     assert int(iters) > 0
 
 
+def test_refined_solve_vec64_matches_f32(system):
+    """Mixed-precision inner PCG (f64 Krylov vectors, f32 matvec/M/dots —
+    the 3M-DoF iteration-blowup fix, scripts/diag_3m_precision.py) reaches
+    the same true 1e-6 residual and the same solution.  Its iteration WIN
+    only appears at large sizes (800 vs 1500 at 3M DoF) where f32 round-off
+    caps the rate; at this 48k-DoF test size the two recurrences are both
+    healthy and may differ slightly either way — assert a sanity band, not
+    superiority."""
+    grid, A, b, order = system
+    S = StencilBlockEll.from_block_ell(A, order)
+    M = stencil_deflation_preconditioner(S, (100, 20))
+    B = to_soa(order, b, A.nd)
+    X32, res32, it32 = stencil_refined_solve(S, B, M, tol=1e-6,
+                                             inner_iters=200)
+    X64, res64, it64 = stencil_refined_solve(S, B, M, tol=1e-6,
+                                             inner_iters=200,
+                                             vec_dtype=jnp.float64)
+    assert float(res64) <= 1e-6
+    assert int(it64) <= 1.5 * int(it32)
+    # both converged to the same solution of the same system
+    np.testing.assert_allclose(
+        np.asarray(X64), np.asarray(X32), rtol=0,
+        atol=1e-5 * float(jnp.abs(X32).max()))
+
+
+def test_bands_blocktridiag_factored_solve_matches_dense(system):
+    """The never-densify coarse path (bands -> block-tridiag -> factored
+    CR; engaged for n_agg > 4096 where a dense E is unaffordable) solves
+    E y = r to the same accuracy as the dense solve of `_coarse_E_banded`
+    on the SPE10 coarse operator."""
+    from dune_hdd_tpu.la.stencil import (
+        _aggregation, _bands_to_blocktridiag, _coarse_bands,
+        _coarse_E_banded, _factored_bcr_solve_from_blocks)
+
+    grid, A, b, order = system
+    S = StencilBlockEll.from_block_ell(A, order)
+    agg = _aggregation(S, MACRO)
+    E = np.asarray(_coarse_E_banded(S, agg), dtype=np.float64)
+    Bb, Cb = _bands_to_blocktridiag(_coarse_bands(S, agg), agg.mx, agg.my)
+    # block-tridiagonal form reproduces E exactly
+    n = agg.mx * agg.my
+    Ebt = np.zeros((n, n))
+    for i in range(agg.mx):
+        Ebt[i*agg.my:(i+1)*agg.my, i*agg.my:(i+1)*agg.my] = np.asarray(Bb[i])
+        if i + 1 < agg.mx:
+            Ebt[i*agg.my:(i+1)*agg.my, (i+1)*agg.my:(i+2)*agg.my] = np.asarray(Cb[i])
+            Ebt[(i+1)*agg.my:(i+2)*agg.my, i*agg.my:(i+1)*agg.my] = np.asarray(Cb[i]).T
+    np.testing.assert_allclose(Ebt, E, rtol=0, atol=1e-5 * np.abs(E).max())
+    rng = np.random.default_rng(3)
+    r = rng.standard_normal(n)
+    yt = np.linalg.solve(E, r)
+    solve = _factored_bcr_solve_from_blocks(Bb, Cb, agg.mx, agg.my)
+    y = np.asarray(solve(jnp.asarray(r, dtype=Bb.dtype)), dtype=np.float64)
+    rel = np.linalg.norm(E @ y - r) / np.linalg.norm(r)
+    assert rel < 5e-4, rel
+    np.testing.assert_allclose(y, yt, rtol=0, atol=1e-3 * np.abs(yt).max())
+
+
 def test_block_tridiag_solve_random():
     """Block cyclic reduction == dense solve on a random SPD block
     tridiagonal system (incl. power-of-two padding, mx=10)."""
