@@ -101,7 +101,14 @@ def build_spe10_bench(bisections: int = 4, maxiter: int = 300,
       (validated on CPU; compiles pathologically slowly through the axon
       TPU tunnel).
     """
-    inner_iters = int(os.environ.get("BENCH_INNER", inner_iters))
+    if "BENCH_INNER" in os.environ:
+        inner_iters = int(os.environ["BENCH_INNER"])
+    elif bisections >= 8:
+        # size-scaled restart cadence: at 3M+ DoF the f32 inner recurrence
+        # needs longer sweeps (measured at 3M: inner=150 -> 2100 iters,
+        # 300 -> 1500, 500 -> worse wall; each restart discards the Krylov
+        # space and f32 re-loses the same low-energy modes)
+        inner_iters = 300
     # MG levels at every 2nd bisection (one halving per level)
     grids = [
         alu_cube_grid((0.0, 0.0), (5.0, 1.0), (100, 20), refinements=b)
@@ -280,9 +287,23 @@ def build_spe10_bench(bisections: int = 4, maxiter: int = 300,
                     family_chunks=int(os.environ.get("BENCH_CHUNKS", "1")))
                 B = structured_rhs(splan, force)
                 S, B, s = scale_planes(S, B)
-                if os.environ.get("BENCH_SYMMV", "0") == "1":
-                    # half-storage symmetric matvec (~1.5x less operator
-                    # HBM traffic per PCG iteration; see StencilBlockEll)
+                # weighted deflation space Z_w = diag(1/s) Z: the scaled
+                # system S A S has near-kernel D^{1/2} 1, not constants —
+                # w = 1/s restores it (measured at 3M DoF: kappa(M A)
+                # 3884 -> 336, PCG iterations 437 -> 141; see
+                # stencil_deflation_preconditioner docstring)
+                weight = (1.0 / s if os.environ.get(
+                    "BENCH_WEIGHTED", "1") != "0" else None)
+                symmv = os.environ.get("BENCH_SYMMV", "auto")
+                if symmv == "1" or (symmv == "auto"
+                                    and KY * KX >= 1 << 17):
+                    # half-storage symmetric matvec (~1.5x less operator HBM
+                    # traffic per PCG iteration; see StencilBlockEll).  Only
+                    # pays once the planes dominate the iteration's traffic:
+                    # measured 1293 vs 1459 ms solve at 3M DoF but 158 vs
+                    # 148 ms at 768k (the extra roll ops are latency-bound
+                    # at small sizes) -> auto-enable at lattice >= 128k
+                    # cells (= 3M DoF at nd=3)
                     S = S.symmetrized()
                 sm = None
                 if smoother_kind.startswith("cheb"):
@@ -298,7 +319,8 @@ def build_spe10_bench(bisections: int = 4, maxiter: int = 300,
                 else:
                     M = stencil_deflation_preconditioner(
                         S, macro, smoother=sm, newton_schulz=newton_schulz,
-                        mid_shape=mid_shape, mid_cheb=mid_cheb)
+                        mid_shape=mid_shape, mid_cheb=mid_cheb,
+                        weight=weight)
                 if M is None:
                     import logging
 
@@ -334,7 +356,7 @@ def build_spe10_bench(bisections: int = 4, maxiter: int = 300,
         KY, KX = order.lattice
         mid_shape, mid_cheb = _select_mid_level(KY, KX, macro)
 
-        def solve_stencil(A32, b32):
+        def solve_stencil(A32, b32, s32=None):
             # one static gather permutes blocks+rhs into the plane layout;
             # everything after is rolls/reshape-sums/elementwise
             S = StencilBlockEll.from_block_ell(A32, order)
@@ -342,9 +364,15 @@ def build_spe10_bench(bisections: int = 4, maxiter: int = 300,
             sm = None
             if smoother_kind.startswith("cheb"):
                 sm = chebyshev_smoother(S, degree=int(smoother_kind[4:] or 2))
+            weight = None
+            if s32 is not None and os.environ.get("BENCH_WEIGHTED", "1") != "0":
+                # w = 1/s restores the scaled system's near-kernel (see the
+                # stencil2 path / stencil_deflation_preconditioner docstring)
+                w = 1.0 / s32.astype(jnp.float32)
+                weight = w[jnp.asarray(maps.to_soa)].reshape(3, 8, KY, KX)
             M = stencil_deflation_preconditioner(
                 S, macro, smoother=sm, newton_schulz=newton_schulz,
-                mid_shape=mid_shape, mid_cheb=mid_cheb)
+                mid_shape=mid_shape, mid_cheb=mid_cheb, weight=weight)
             if M is None:
                 import logging
 
@@ -369,7 +397,7 @@ def build_spe10_bench(bisections: int = 4, maxiter: int = 300,
             # RTT, so the end-to-end bench must be a single program
             with jax.enable_x64(False), jax.default_matmul_precision("highest"):
                 A_s, b_s, s = assemble(field)
-            u_s, res = solve_stencil(A_s, b_s)
+            u_s, res = solve_stencil(A_s, b_s, s)
             return u_s * s.astype(u_s.dtype), res
 
     def assemble_and_solve(field):

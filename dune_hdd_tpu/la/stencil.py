@@ -464,14 +464,20 @@ def _crossing_masks(f: int, d: int, n: int) -> dict:
     return {int(v): (dA == v) for v in np.unique(dA)}
 
 
-def _stencil_bands(A: StencilBlockEll, agg: _Aggregation2D) -> dict:
+def _stencil_bands(A: StencilBlockEll, agg: _Aggregation2D,
+                   P: Optional[jnp.ndarray] = None) -> dict:
     """Galerkin coarse operator E = Z^T A Z of the piecewise-constant
     aggregation as STENCIL BANDS {(vy, vx): [my, mx]} on the coarse lattice
     (E[a, a+v] = band[v][a]) — the scalar-lattice image of the fine plane
-    layout, applied with rolls (no dense matrix, no scatter)."""
+    layout, applied with rolls (no dense matrix, no scatter).
+
+    ``P`` [4, 8, KY, KX]: optional precomputed per-(slot, subclass) pairing
+    sums (default 1^T W 1 = planes.sum over the block axes; pass the
+    w-weighted sums for a weighted deflation space Z_w)."""
     KY, KX = A.lattice
     my, mx, fy, fx = agg.my, agg.mx, agg.fy, agg.fx
-    P = A.planes.sum(axis=(1, 2))  # [4, 8, KY, KX]
+    if P is None:
+        P = A.planes.sum(axis=(1, 2))  # [4, 8, KY, KX]
 
     def agg2(field2d):  # [KY, KX] -> [my, mx]
         return field2d.reshape(my, fy, mx, fx).sum(axis=(1, 3))
@@ -543,7 +549,8 @@ def _bands_to_dense(bands: dict, my: int, mx: int) -> jnp.ndarray:
     return E
 
 
-def _coarse_E(A: StencilBlockEll, agg: _Aggregation) -> jnp.ndarray:
+def _coarse_E(A: StencilBlockEll, agg: _Aggregation,
+              P: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """E = Z^T A Z via one static scatter-add of plane block sums (setup)."""
     KY, KX = A.lattice
     mx, my, fy, fx = agg.mx, agg.my, agg.fy, agg.fx
@@ -569,14 +576,17 @@ def _coarse_E(A: StencilBlockEll, agg: _Aggregation) -> jnp.ndarray:
             elif dx < 0:
                 valid[s + 1, k, :, : -dx] = False
     flat = (rows * n_agg + cols).reshape(-1)
-    sums = A.planes.sum(axis=(1, 2)).reshape(-1)  # [4*8*KY*KX]
+    if P is None:
+        P = A.planes.sum(axis=(1, 2))
+    sums = P.reshape(-1)  # [4*8*KY*KX]
     sums = sums * jnp.asarray(valid.reshape(-1), dtype=sums.dtype)
     E = jnp.zeros(n_agg * n_agg, dtype=sums.dtype)
     E = E.at[jnp.asarray(flat)].add(sums)
     return E.reshape(n_agg, n_agg)
 
 
-def _coarse_bands(A: StencilBlockEll, agg: _Aggregation) -> dict:
+def _coarse_bands(A: StencilBlockEll, agg: _Aggregation,
+                  P: Optional[jnp.ndarray] = None) -> dict:
     """Bands of E = Z^T A Z keyed by aggregate offset (vy, vx), each a
     [n_agg] vector in x-major id = ax*my + ay ordering: each (subclass,
     slot) family contributes to at most 4 relative aggregate offsets
@@ -586,7 +596,8 @@ def _coarse_bands(A: StencilBlockEll, agg: _Aggregation) -> dict:
     fy, fx = agg.fy, agg.fx
     iy = np.arange(KY)[:, None]
     ix = np.arange(KX)[None, :]
-    P = A.planes.sum(axis=(1, 2))  # [4, 8, KY, KX]
+    if P is None:
+        P = A.planes.sum(axis=(1, 2))  # [4, 8, KY, KX]
 
     bands: dict = {}
 
@@ -613,11 +624,12 @@ def _coarse_bands(A: StencilBlockEll, agg: _Aggregation) -> dict:
     return bands
 
 
-def _coarse_E_banded(A: StencilBlockEll, agg: _Aggregation) -> jnp.ndarray:
+def _coarse_E_banded(A: StencilBlockEll, agg: _Aggregation,
+                     P: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Dense E = Z^T A Z from `_coarse_bands` (small coarse spaces only)."""
     mx, my = agg.mx, agg.my
     n_agg = mx * my
-    bands = _coarse_bands(A, agg)
+    bands = _coarse_bands(A, agg, P)
     E = jnp.zeros((n_agg, n_agg), dtype=A.planes.dtype)
     a = np.arange(n_agg)
     amx, amy = a // my, a % my
@@ -1004,6 +1016,7 @@ def stencil_deflation_preconditioner(
     use_az: bool = True,
     mid_shape=None,
     mid_cheb: int = 2,
+    weight: Optional[jnp.ndarray] = None,
 ) -> Optional[Callable]:
     """Balanced two- or three-level preconditioner, all ops regular in the
     plane layout:
@@ -1023,12 +1036,35 @@ def stencil_deflation_preconditioner(
     optionally Chebyshev-accelerated (``mid_cheb``) — so M stays a fixed
     SPD operator and the outer iteration remains plain PCG.  mid_shape must
     tile the lattice and be a multiple of macro_shape.
+
+    ``weight`` [nd, 8, KY, KX]: per-dof weights of the deflation space
+    Z_w = diag(w) Z (each coarse vector = w restricted to an aggregate
+    instead of the indicator).  A symmetrically diagonal-scaled system
+    S A S (``scale_planes``) no longer has constants as its near-kernel —
+    the physical near-kernel (locally constant functions) maps to
+    D^{1/2} 1 under the scaling; pass weight = sqrt(diag A) = 1/s to
+    restore it.  On high-contrast coefficients (SPE10) the unweighted
+    coarse space misses the near-kernel entirely (measured kappa(M A) ~
+    4e3 at H/h = 2); the weighted space removes that floor.  All coarser
+    levels stay unweighted constants (the Galerkin image of Z_w already
+    carries the weights).
     """
+    # weighted pairing sums P_w[s,k] = sum_ij w_i W[s,i,j] w_j(neighbour)
+    # and weighted AZ planes AZ_w[s,i] = sum_j W[s,i,j] w_j(neighbour):
+    # E = Z_w^T A Z_w and A Z_w ride the same machinery as the unweighted
+    # constants (w = 1 reproduces planes.sum / row_sums exactly).
+    Pw = None
+    if weight is not None:
+        wnbr = A.neighbor_fields(weight)  # [4][nd, 8, KY, KX]
+        Pw = jnp.stack([
+            (weight[:, None] * A.planes[s] * wnbr[s][None, :]).sum(axis=(0, 1))
+            for s in range(4)
+        ])  # [4, 8, KY, KX]
     if mid_shape is not None:
         agg = _aggregation2d(A, mid_shape)
         if agg is None:
             return None
-        bands1 = _stencil_bands(A, agg)
+        bands1 = _stencil_bands(A, agg, Pw)
         coarse = _middle_inverse(bands1, agg.my, agg.mx, macro_shape,
                                  newton_schulz=newton_schulz,
                                  cheb_degree=mid_cheb,
@@ -1050,11 +1086,11 @@ def stencil_deflation_preconditioner(
             # and its f32 LU/CR + Newton-Schulz polish loses accuracy on
             # high-contrast operators at n ~ 8000 — bands -> block-tridiag
             # -> factored-CR direct solves
-            bands = _coarse_bands(A, agg)
+            bands = _coarse_bands(A, agg, Pw)
             Bb, Cb = _bands_to_blocktridiag(bands, agg.mx, agg.my)
             coarse = _factored_bcr_solve_from_blocks(Bb, Cb, agg.mx, agg.my)
         elif agg.fx >= 2:
-            E = _coarse_E_banded(A, agg)
+            E = _coarse_E_banded(A, agg, Pw)
             # block-cyclic-reduction inverse: with >=2 fine cells per
             # aggregate in x the |dx|<=2 stencil shifts cross at most ONE
             # macro boundary, so the coarse lattice is block-tridiagonal
@@ -1064,21 +1100,34 @@ def stencil_deflation_preconditioner(
         else:
             # fx == 1: |dx|=2 shifts produce +-2 macro-column couplings that
             # BCR would silently drop — use the dense LU inverse instead
-            E = _coarse_E_banded(A, agg)
+            E = _coarse_E_banded(A, agg, Pw)
             coarse = _coarse_inverse(E, newton_schulz)
     nd = A.nd
 
+    def wsum(R):
+        """Z_w^T R: weighted aggregate sums (w = 1 when unweighted)."""
+        return agg.aggsum(R if weight is None else R * weight)
+
+    def wbcast(yc, shape):
+        """Z_w yc in the full [nd, 8, KY, KX] layout."""
+        g = jnp.broadcast_to(agg.broadcast(yc)[None], shape)
+        return g if weight is None else g * weight
+
     if not use_az:
         def apply_balanced(R):
-            yc = coarse(agg.aggsum(R))
-            Qr = jnp.broadcast_to(agg.broadcast(yc)[None], R.shape)
+            yc = coarse(wsum(R))
+            Qr = wbcast(yc, R.shape)
             s = smoother(R - A.matvec(Qr))
-            zas = coarse(agg.aggsum(A.matvec(s)))
-            return Qr + s - jnp.broadcast_to(agg.broadcast(zas)[None], R.shape)
+            zas = coarse(wsum(A.matvec(s)))
+            return Qr + s - wbcast(zas, R.shape)
 
         return apply_balanced
 
-    AZ = A.row_sums()  # [4, nd, 8, KY, KX]
+    if weight is None:
+        AZ = A.row_sums()  # [4, nd, 8, KY, KX]
+    else:
+        AZ = jnp.stack([(A.planes[s] * wnbr[s][None, :]).sum(axis=1)
+                        for s in range(4)])
     plan = A.plan
 
     def a_broadcast(yc):
@@ -1113,11 +1162,11 @@ def stencil_deflation_preconditioner(
         return agg.aggsum(total)
 
     def apply_balanced_az(R):
-        yc = coarse(agg.aggsum(R))
-        Qr = jnp.broadcast_to(agg.broadcast(yc)[None], R.shape)
+        yc = coarse(wsum(R))
+        Qr = wbcast(yc, R.shape)
         s = smoother(R - a_broadcast(yc))
         zas = zt_a(s)
-        return Qr + s - jnp.broadcast_to(agg.broadcast(coarse(zas))[None], R.shape)
+        return Qr + s - wbcast(coarse(zas), R.shape)
 
     return apply_balanced_az
 

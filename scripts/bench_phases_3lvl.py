@@ -111,6 +111,8 @@ def main():
             outer_max=int(os.environ.get("PH_OUTER", "6")),
             unroll=4,
             dot_dtype=(jnp.float64 if os.environ.get("PH_DOTS", "f32") == "f64"
+                       else None),
+            vec_dtype=(jnp.float64 if os.environ.get("PH_VEC", "f32") == "f64"
                        else None))
 
     @jax.jit

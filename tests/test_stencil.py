@@ -396,3 +396,86 @@ def test_stencil_cg_solver_option():
     u3 = d2.solve(mu, options={"type": "stencil_cg", "precision": 1e-12})
     u3_ref = d2.solve(mu, options={"type": "direct"})
     np.testing.assert_allclose(np.asarray(u3), np.asarray(u3_ref), atol=1e-7)
+
+
+def test_weighted_deflation_unit_weight_matches(system):
+    """Z_w with w = 1 is exactly the constant space: the weighted code path
+    (pairing sums, AZ planes, wsum/wbcast) must reproduce the unweighted
+    preconditioner up to f32 reassociation, for both AZ modes."""
+    grid, A, b, order = system
+    S = StencilBlockEll.from_block_ell(A, order)
+    ones = jnp.ones((A.nd, 8) + S.lattice, jnp.float32)
+    rng = np.random.default_rng(3)
+    r = jnp.asarray(rng.standard_normal((A.nd, 8) + S.lattice), jnp.float32)
+    for use_az in (False, True):
+        M0 = stencil_deflation_preconditioner(S, MACRO, use_az=use_az,
+                                              newton_schulz=2)
+        Mw = stencil_deflation_preconditioner(S, MACRO, use_az=use_az,
+                                              newton_schulz=2, weight=ones)
+        z0 = np.asarray(M0(r))
+        zw = np.asarray(Mw(r))
+        np.testing.assert_allclose(zw, z0, rtol=0,
+                                   atol=5e-5 * np.abs(z0).max())
+
+
+def test_weighted_deflation_symmetric(system):
+    """M stays a symmetric bilinear form with a non-trivial weight (PCG
+    contract), in both two-level and three-level mode."""
+    grid, A, b, order = system
+    S = StencilBlockEll.from_block_ell(A, order)
+    KY, KX = S.lattice
+    rng = np.random.default_rng(4)
+    w = jnp.asarray(
+        0.5 + rng.random((A.nd, 8, KY, KX)), jnp.float32)
+    r1 = jnp.asarray(rng.standard_normal((A.nd, 8, KY, KX)), jnp.float32)
+    r2 = jnp.asarray(rng.standard_normal((A.nd, 8, KY, KX)), jnp.float32)
+    mid = (KX // 2, KY // 2) if (KX % (2 * MACRO[0]) == 0
+                                 and KY % (2 * MACRO[1]) == 0) else None
+    for mid_shape in {None, mid}:
+        M = stencil_deflation_preconditioner(S, MACRO, newton_schulz=2,
+                                             mid_shape=mid_shape, weight=w)
+        assert M is not None
+        lhs = float(jnp.vdot(M(r1), r2))
+        rhs = float(jnp.vdot(r1, M(r2)))
+        assert lhs == pytest.approx(rhs, rel=5e-4)
+
+
+def test_weighted_deflation_beats_unweighted_on_contrast(system):
+    """On the diagonally-scaled SPE10 system the constant coarse space
+    misses the near-kernel (D^{1/2} 1); the w = 1/s weighted space restores
+    it — measured at 3M DoF: kappa(M A) 3884 -> 336, iters 437 -> 141.
+    Locks the small-size version: strictly fewer PCG iterations AND true
+    convergence."""
+    from dune_hdd_tpu.bench_harness import _FORCES
+    from dune_hdd_tpu.la.stencil import stencil_pcg
+    from dune_hdd_tpu.la.stencil_assembly import (
+        assemble_structured_spe10, build_structured_assembly,
+        precompute_coefficient, scale_planes, structured_rhs)
+
+    grid, A, b, order = system
+    bi = make_boundary_info(grid, {"type": "stuff.grid.boundaryinfo.alldirichlet"})
+    dfac = SumFunction(
+        [ConstantFunction(1.0), ScaledFunction(IndicatorFunction(CHANNEL), -0.9)])
+    splan = build_structured_assembly(grid, order, bi)
+    KY, KX = order.lattice
+    field = jnp.asarray(_synthetic_model1_field(), jnp.float32)
+    NZ, NX = field.shape[1], field.shape[0]
+    fy, fx = KY // NZ, KX // NX
+    cf2d = jnp.broadcast_to(
+        field.T[:, None, :, None], (NZ, fy, NX, fx)).reshape(KY, KX)
+    S0 = assemble_structured_spe10(
+        splan, precompute_coefficient(splan, dfac),
+        jnp.broadcast_to(cf2d[None], (8, KY, KX)))
+    B0 = structured_rhs(splan, IndicatorFunction(_FORCES))
+    S, B, s = scale_planes(S0, B0)
+    w = 1.0 / s
+    M0 = stencil_deflation_preconditioner(S, MACRO, newton_schulz=2)
+    Mw = stencil_deflation_preconditioner(S, MACRO, newton_schulz=2, weight=w)
+    bn = float(jnp.linalg.norm(B))
+    rhs = B / jnp.float32(bn)
+    _, it0 = stencil_pcg(S, rhs, M0, rtol=1e-5, maxiter=2000, unroll=1)
+    Xw, itw = stencil_pcg(S, rhs, Mw, rtol=1e-5, maxiter=2000, unroll=1)
+    assert int(itw) < 0.6 * int(it0), (int(itw), int(it0))
+    r64 = (rhs.astype(jnp.float64)
+           - S.astype(jnp.float64).matvec(Xw.astype(jnp.float64)))
+    assert float(jnp.linalg.norm(r64)) <= 1e-4
