@@ -1,4 +1,5 @@
-from .adaptive import AdaptiveResult, adaptive_lrbms
+from .adaptive import (AdaptiveResult, adaptive_lrbms,
+                       doerfler_marking, snapshot_local_bases)
 from .gram_schmidt import gram_schmidt, pod, trivial_extension
 from .greedy import (
     GreedyResult,
@@ -15,6 +16,8 @@ from .residual import OnlineResidual, RieszResidualEstimator, min_theta_coercivi
 __all__ = [
     "AdaptiveResult",
     "adaptive_lrbms",
+    "doerfler_marking",
+    "snapshot_local_bases",
     "gram_schmidt",
     "pod",
     "trivial_extension",

@@ -17,7 +17,28 @@ import numpy as np
 from .gram_schmidt import gram_schmidt
 from .reductor import RBReductor, ReducedModel
 
-__all__ = ["AdaptiveResult", "adaptive_lrbms", "doerfler_marking"]
+__all__ = ["AdaptiveResult", "adaptive_lrbms", "doerfler_marking",
+           "snapshot_local_bases"]
+
+
+def snapshot_local_bases(block_disc, mu_train, local_product: str = "h1_semi",
+                         solver_options: Optional[Dict] = None):
+    """Per-subdomain bases from one detailed snapshot u(mu_train).
+
+    The default rhs-only initialization leaves every subdomain outside the
+    force support with an EMPTY basis (the localized rhs vanishes there);
+    on SPE10 [20 4 1] that is 75 of 80 subdomains, so the initial reduced
+    solution is zero on 94% of the domain and the adaptive loop starts from
+    err == ||u||.  One training snapshot gives every subdomain a non-trivial
+    basis — the LRBMS papers' standard initialization (greedy snapshots),
+    reduced to a single parameter."""
+    d = block_disc
+    u = d.solve(mu_train, options=solver_options or {"type": "direct"})
+    bases = []
+    for ss in range(d.num_subdomains()):
+        prod = d.get_local_product(ss, local_product).freeze({})
+        bases.append(gram_schmidt(d.localize_vector(u, ss)[None, :], prod))
+    return bases
 
 
 def doerfler_marking(indicators: np.ndarray, theta: float) -> List[int]:
