@@ -296,14 +296,15 @@ def build_spe10_bench(bisections: int = 4, maxiter: int = 300,
                     "BENCH_WEIGHTED", "1") != "0" else None)
                 symmv = os.environ.get("BENCH_SYMMV", "auto")
                 if symmv == "1" or (symmv == "auto"
-                                    and KY * KX >= 1 << 17):
+                                    and KY * KX >= 128000):
                     # half-storage symmetric matvec (~1.5x less operator HBM
                     # traffic per PCG iteration; see StencilBlockEll).  Only
                     # pays once the planes dominate the iteration's traffic:
                     # measured 1293 vs 1459 ms solve at 3M DoF but 158 vs
                     # 148 ms at 768k (the extra roll ops are latency-bound
-                    # at small sizes) -> auto-enable at lattice >= 128k
-                    # cells (= 3M DoF at nd=3)
+                    # at small sizes) -> auto-enable at lattice >= 128000
+                    # cells-per-subclass (the 3M lattice is exactly
+                    # 160 x 800 = 128000; 1 << 17 just missed it)
                     S = S.symmetrized()
                 sm = None
                 if smoother_kind.startswith("cheb"):

@@ -182,3 +182,24 @@ for _mus, _values in {
                       "eta_OS2014_*": [9.27974, 4.07744]},
 }.items():
     record(f"Spe10.parametric_block.[20 4 1].{_mus}", "alu_conforming", 1, _values)
+
+# ---------------------------------------------------------------------------
+# Adaptive LRBMS on SPE10 ParametricBlockModel1, [20 4 1], mu = 0.1 —
+# RECORDED with this framework (2026-08-18; the reference's analog is the
+# OS2014 localization study's online-enrichment property,
+# OS2014_localization_study.cc:90-136, which it runs on the OS2014 case).
+# Configuration (scripts/run_adaptive_spe10_lock.py forensics): snapshot
+# init at mu_train = 1 (rhs-only init leaves 75/80 subdomains empty),
+# Doerfler(0.85) bulk marking on eta_OS2014_* (with snapshot init the star
+# indicator is the best-ranked against true local errors: Spearman +0.76,
+# 6/10 top-10 overlap — scripts/diag_marking_indicators.py; one-worst and
+# eta_NC marking stall).  true_h1_semi is the true reduction error per
+# enrichment round; the full 4-round recording continues 6.069, 5.479
+# (2.25x).  eta_OS2014_* rises with enrichment: its eta_R term is evaluated
+# on the FIXED detailed grid and does not shrink with basis growth —
+# documented estimator-floor behaviour, which is why stopping at
+# target_estimate uses it only as a floor detector here.
+record("Spe10.adaptive.[20 4 1].mu0.1", "alu_conforming", 1, {
+    "true_h1_semi": [12.31622, 7.502474, 6.707649],
+    "eta_OS2014_*": [288.8299, 350.6335, 381.4010],
+})
