@@ -49,7 +49,8 @@ class ShardedStencilSystem:
     """
 
     def __init__(self, S: StencilBlockEll, B: jnp.ndarray, mesh: Mesh,
-                 macro: Optional[Tuple[int, int]] = None):
+                 macro: Optional[Tuple[int, int]] = None,
+                 weight: Optional[jnp.ndarray] = None):
         D = mesh.shape["domain"]
         KY, KX = S.lattice
         nd = S.nd
@@ -66,11 +67,16 @@ class ShardedStencilSystem:
             S.planes, NamedSharding(mesh, P(None, None, None, None, None, "domain")))
         self.B = jax.device_put(
             B, NamedSharding(mesh, P(None, None, None, "domain")))
+        # weighted deflation space Z_w = diag(w) Z (see la/stencil.py:
+        # on a diagonally-scaled system pass w = 1/s to restore the
+        # physical near-kernel; measured kappa(M A) 3884 -> 336 on SPE10)
+        self.weight = (None if weight is None else jax.device_put(
+            weight, NamedSharding(mesh, P(None, None, None, "domain"))))
 
     # -- device-local kernels (inside shard_map) ----------------------------
-    def _matvec_local(self, W, X, axis="domain"):
-        """X [nd, 8, KY, Wd] local slab -> A X local; ring-ppermute halos."""
-        nd = self.nd
+    def _neighbor_fields_local(self, X, axis="domain"):
+        """[4][nd, 8, KY, Wd] neighbour fields of the local slab X
+        (self + 3 slots), halos via ring ppermute."""
         D = self.mesh.shape[axis]
         plan = self.plan
         if D > 1:
@@ -94,6 +100,12 @@ class ShardedStencilSystem:
                                           _HALO + dx + Wd, axis=-1)
                 per_k.append(jnp.roll(sl, shift=-dy, axis=1))
             fields.append(jnp.stack(per_k, axis=1))
+        return fields
+
+    def _matvec_local(self, W, X, axis="domain"):
+        """X [nd, 8, KY, Wd] local slab -> A X local; ring-ppermute halos."""
+        nd = self.nd
+        fields = self._neighbor_fields_local(X, axis)
         acc = []
         for i in range(nd):
             t = None
@@ -119,7 +131,7 @@ class ShardedStencilSystem:
         return apply
 
     def _deflation_local(self, W, matvec, smoother, axis="domain",
-                        newton_schulz: int = 2):
+                        newton_schulz: int = 2, wloc=None):
         """Balanced two-level deflation with slab-local aggregation.  The
         coarse operator is psum-assembled (it needs neighbour-slab
         couplings) and inverted redundantly per device."""
@@ -157,8 +169,18 @@ class ShardedStencilSystem:
         # coarse operator: E[a, b] = sum over cells of plane sums paired
         # with rolled aggregate ids — assemble from the GLOBAL aggregate
         # field pairing, locally, then psum (couplings across slab
-        # boundaries land on the owning row's device; psum merges)
-        P_sums = W.sum(axis=(1, 2))  # [4, 8, KY, Wd]
+        # boundaries land on the owning row's device; psum merges).
+        # With a weight, the pairing sums become P_w = w_i W w_j(nbr)
+        # (E = Z_w^T A Z_w) — the neighbour weights ride one halo
+        # ppermute, exactly like the matvec.
+        if wloc is None:
+            P_sums = W.sum(axis=(1, 2))  # [4, 8, KY, Wd]
+        else:
+            wn = self._neighbor_fields_local(wloc, axis)
+            P_sums = jnp.stack([
+                (wloc[:, None] * W[s] * wn[s][None, :]).sum(axis=(0, 1))
+                for s in range(4)
+            ])
         iy = np.arange(KY)[:, None]
         Wd = KX // D
         ixl = np.arange(Wd)[None, :]
@@ -185,16 +207,21 @@ class ShardedStencilSystem:
         E = jax.lax.psum(E, axis)
         coarse = _coarse_inverse_bcr(E, mx, my, newton_schulz)
 
+        def wsum(R):
+            return aggsum_local(R if wloc is None else R * wloc)
+
+        def wbcast(yc_local, shape):
+            g = jnp.broadcast_to(broadcast_local(yc_local)[None], shape)
+            return g if wloc is None else g * wloc
+
         def apply_balanced(R):
-            rc = to_global(aggsum_local(R))
+            rc = to_global(wsum(R))
             yc = coarse(rc)
-            Qr = jnp.broadcast_to(broadcast_local(local_part(yc))[None], R.shape)
+            Qr = wbcast(local_part(yc), R.shape)
             s_ = smoother(R - matvec(Qr))
-            zc = to_global(aggsum_local(matvec(s_)))
+            zc = to_global(wsum(matvec(s_)))
             z = coarse(zc)
-            return (Qr + s_
-                    - jnp.broadcast_to(broadcast_local(local_part(z))[None],
-                                       R.shape))
+            return Qr + s_ - wbcast(local_part(z), R.shape)
 
         return apply_balanced
 
@@ -208,15 +235,18 @@ class ShardedStencilSystem:
         axis = "domain"
         tol = float(tol)
 
+        have_w = self.weight is not None
+
         @partial(jax.jit, static_argnums=())
-        def run(planes, B):
-            def body(W, Bl):
+        def run(planes, B, *wargs):
+            def body(W, Bl, *wl):
                 def dot(a, b):
                     return jax.lax.psum(jnp.vdot(a, b), axis)
 
                 matvec = lambda X: self._matvec_local(W, X, axis)
                 smoother = self._jacobi_local(W)
-                M = (self._deflation_local(W, matvec, smoother, axis)
+                M = (self._deflation_local(W, matvec, smoother, axis,
+                                           wloc=wl[0] if wl else None)
                      if self.macro is not None else smoother)
                 W64 = W.astype(jnp.float64)
                 matvec64 = lambda X: self._matvec_local(W64, X, axis)
@@ -276,12 +306,14 @@ class ShardedStencilSystem:
                                                  (X0, bnorm, jnp.int32(0)))
                 return X, (rnorm / jnp.maximum(bnorm, 1e-300))[None]
 
+            vec_spec = P(None, None, None, "domain")
             return jax.shard_map(
                 body, mesh=mesh,
                 in_specs=(P(None, None, None, None, None, "domain"),
-                          P(None, None, None, "domain")),
-                out_specs=(P(None, None, None, "domain"), P("domain")),
-            )(planes, B)
+                          vec_spec) + ((vec_spec,) if wargs else ()),
+                out_specs=(vec_spec, P("domain")),
+            )(planes, B, *wargs)
 
-        X, res = run(self.planes, self.B)
+        X, res = run(self.planes, self.B,
+                     *((self.weight,) if have_w else ()))
         return X, res[0]

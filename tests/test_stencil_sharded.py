@@ -48,7 +48,7 @@ def system():
     maps = soa_index_maps(order, 3)
     KY, KX = order.lattice
     B = b_s.astype(jnp.float32)[jnp.asarray(maps.to_soa)].reshape(3, 8, KY, KX)
-    return S, B, A_s, b_s, order, maps
+    return S, B, A_s, b_s, order, maps, s
 
 
 @pytest.fixture(scope="module")
@@ -58,7 +58,7 @@ def mesh():
 
 
 def test_sharded_matvec_matches_single_device(system, mesh):
-    S, B, A_s, b_s, order, maps = system
+    S, B, A_s, b_s, order, maps, s = system
     sys4 = ShardedStencilSystem(S, B, mesh)
     rng = np.random.default_rng(0)
     X = jnp.asarray(rng.standard_normal(B.shape), dtype=jnp.float32)
@@ -79,7 +79,7 @@ def test_sharded_matvec_matches_single_device(system, mesh):
 
 
 def test_sharded_solve_true_residual(system, mesh):
-    S, B, A_s, b_s, order, maps = system
+    S, B, A_s, b_s, order, maps, s = system
     sys4 = ShardedStencilSystem(S, B, mesh, macro=(100, 20))
     X, res = sys4.solve(tol=1e-6)
     assert float(res) <= 1e-6
@@ -97,7 +97,7 @@ def test_sharded_solve_true_residual(system, mesh):
 def test_sharded_solve_hlo_uses_ppermute(system, mesh):
     """The per-iteration halo exchange lowers to collective-permute; the
     only gather-style collective is the small coarse-vector all_gather."""
-    S, B, A_s, b_s, order, maps = system
+    S, B, A_s, b_s, order, maps, s = system
     sys4 = ShardedStencilSystem(S, B, mesh, macro=(100, 20))
     # lower the jitted solve and inspect
     import jax as _jax
@@ -120,3 +120,24 @@ def test_sharded_solve_hlo_uses_ppermute(system, mesh):
         sys4.planes, B).compile().as_text()
     assert "collective-permute" in hlo
     assert "all-gather" not in hlo
+
+
+def test_sharded_weighted_deflation_solve(system, mesh):
+    """Weighted deflation space on the sharded solver: same solution as the
+    unweighted run (both true <= 1e-6 against the same system), and the
+    weighted run converges.  The neighbour weights for the psum-assembled
+    E = Z_w^T A Z_w ride the same ring-ppermute halos as the matvec."""
+    S, B, A_s, b_s, order, maps, s = system
+    # the production weight w = 1/s = sqrt(diag A): the scaled system's
+    # near-kernel is D^{1/2} 1 (see la/stencil.py)
+    KY, KX = order.lattice
+    w = (1.0 / s.astype(jnp.float32))[jnp.asarray(
+        soa_index_maps(order, 3).to_soa)].reshape(3, 8, KY, KX)
+    sys_w = ShardedStencilSystem(S, B, mesh, macro=(100, 20), weight=w)
+    Xw, res_w = sys_w.solve(tol=1e-6)
+    assert float(res_w) <= 1e-6
+    sys_u = ShardedStencilSystem(S, B, mesh, macro=(100, 20))
+    Xu, res_u = sys_u.solve(tol=1e-6)
+    xw = np.asarray(Xw.reshape(-1)[jnp.asarray(maps.from_soa)])
+    xu = np.asarray(Xu.reshape(-1)[jnp.asarray(maps.from_soa)])
+    np.testing.assert_allclose(xw, xu, rtol=0, atol=1e-5 * np.abs(xu).max())
