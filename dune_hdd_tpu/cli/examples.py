@@ -95,6 +95,11 @@ class _ExampleBase:
         bi_cfg = cfg.sub("boundary_info").as_dict() if cfg.has_sub("boundary_info") else {}
         problem_cfg = dict(cfg.sub("problem").as_dict()) if cfg.has_sub("problem") else {}
         problem_type = problem_cfg.pop("type", self.default_problem)
+        if getattr(grid, "cell_type", None) == "interval":
+            # 1D grids need a 1x1 diffusion tensor (SGrid<1,1> instantiation)
+            dt = dict(problem_cfg.get("diffusion_tensor", {}) or {})
+            dt.setdefault("dim", 1)
+            problem_cfg["diffusion_tensor"] = dt
         problem = ProblemsProvider.create(problem_type, problem_cfg)
         self._discretization = self._make_discretization(grid, bi_cfg, problem, cfg)
         return self

@@ -119,3 +119,27 @@ def _cube_provider(
 
 GridProviders.register("stuff.grid.provider.cube", _cube_provider)
 GridProviders.register("cube", _cube_provider)
+
+
+def _interval_provider(
+    lower_left=0.0,
+    upper_right=1.0,
+    num_elements=8,
+    num_refinements: int = 0,
+    **_ignored,
+) -> Grid:
+    """1D cube provider — the SGrid<1,1> instantiations
+    (examples/linearelliptic/swipdg.cc:11, cg.cc:19)."""
+    from .structured import interval_grid
+
+    lower = float(np.atleast_1d(np.asarray(lower_left, dtype=float))[0])
+    upper = float(np.atleast_1d(np.asarray(upper_right, dtype=float))[0])
+    n = int(np.atleast_1d(np.asarray(num_elements, dtype=float))[0])
+    g = interval_grid(lower, upper, n)
+    for _ in range(int(num_refinements)):
+        g, _info = refine(g)
+    return g
+
+
+GridProviders.register("stuff.grid.provider.interval", _interval_provider)
+GridProviders.register("interval", _interval_provider)

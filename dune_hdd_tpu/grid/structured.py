@@ -26,10 +26,17 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-__all__ = ["Grid", "RefinementInfo", "rectangle_grid", "refine", "bisect", "alu_cube_grid"]
+__all__ = ["Grid", "RefinementInfo", "rectangle_grid", "interval_grid", "refine",
+           "bisect", "alu_cube_grid"]
 
 TRIANGLE = "triangle"
 QUAD = "quad"
+# 1D interval cells (the reference's SGrid<1,1> instantiations,
+# examples/linearelliptic/swipdg.cc:11 / cg.cc:19): vertices are [NV, 1],
+# cells are vertex pairs (v0, v1), and a "face" is a single shared vertex
+# stored as the degenerate pair (v, v) so the generic connectivity builder
+# and DoF machinery apply unchanged.
+INTERVAL = "interval"
 
 
 @dataclass(frozen=True)
@@ -101,6 +108,8 @@ class Grid:
     @cached_property
     def cell_volumes(self) -> np.ndarray:
         v = self.cell_vertices
+        if self.cell_type == INTERVAL:
+            return np.abs(v[:, 1, 0] - v[:, 0, 0])
         if self.cell_type == TRIANGLE:
             e1 = v[:, 1] - v[:, 0]
             e2 = v[:, 2] - v[:, 0]
@@ -113,6 +122,8 @@ class Grid:
     @cached_property
     def cell_diameters(self) -> np.ndarray:
         v = self.cell_vertices
+        if self.cell_type == INTERVAL:
+            return self.cell_volumes
         if self.cell_type == TRIANGLE:
             e = np.stack(
                 [v[:, 1] - v[:, 0], v[:, 2] - v[:, 1], v[:, 0] - v[:, 2]], axis=1
@@ -133,13 +144,30 @@ class Grid:
 
     @cached_property
     def face_volumes(self) -> np.ndarray:
-        """Face lengths |e|."""
+        """Face lengths |e|.
+
+        INTERVAL: a face is a point with no measure; what downstream SWIPDG
+        penalty terms need is the local length scale h_e, so we store
+        min(h_inside, h_outside) here (the DUNE 1D intersection geometry
+        degenerates — this is the standard 1D IPDG choice)."""
+        if self.cell_type == INTERVAL:
+            h = self.cell_volumes[self.face_cells[:, 0]].copy()
+            outside = self.face_cells[:, 1]
+            has_out = outside >= 0
+            h[has_out] = np.minimum(h[has_out], self.cell_volumes[outside[has_out]])
+            return h
         fv = self.face_vertices
         return np.linalg.norm(fv[:, 1] - fv[:, 0], axis=-1)
 
     @cached_property
     def face_normals(self) -> np.ndarray:
-        """[NF, 2] unit normals oriented from inside cell to outside."""
+        """[NF, dim] unit normals oriented from inside cell to outside."""
+        if self.cell_type == INTERVAL:
+            inside = self.face_cells[:, 0]
+            d = self.face_centroids[:, 0] - self.cell_centroids[inside, 0]
+            n = np.sign(d)
+            n[n == 0] = 1.0
+            return n[:, None]
         fv = self.face_vertices
         t = fv[:, 1] - fv[:, 0]
         n = np.stack([t[:, 1], -t[:, 0]], axis=-1)
@@ -184,6 +212,9 @@ def _cell_local_faces(cells: np.ndarray, cell_type: str) -> np.ndarray:
         idx = [(0, 1), (1, 2), (2, 0)]
     elif cell_type == QUAD:
         idx = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    elif cell_type == INTERVAL:
+        # point faces as degenerate (v, v) pairs — dedup key is the vertex
+        idx = [(0, 0), (1, 1)]
     else:
         raise ValueError(f"unknown cell type {cell_type!r}")
     return np.stack([cells[:, [a, b]] for a, b in idx], axis=1)
@@ -197,7 +228,10 @@ _NATIVE_THRESHOLD = int(_os.environ.get("DUNE_HDD_TPU_NATIVE_THRESHOLD", "200000
 def _build_connectivity(cells: np.ndarray, cell_type: str):
     # large meshes: the C++ hash-map builder (native/hdd_native.cpp) beats the
     # numpy sort path; small meshes stay on numpy to avoid the ctypes round trip
-    if cells.size >= _NATIVE_THRESHOLD or _os.environ.get("DUNE_HDD_TPU_NATIVE") == "1":
+    # (intervals always take numpy: the native builder assumes edge faces
+    # (v_i, v_{i+1}), not the degenerate point faces of 1D cells)
+    if cell_type != INTERVAL and (
+            cells.size >= _NATIVE_THRESHOLD or _os.environ.get("DUNE_HDD_TPU_NATIVE") == "1"):
         from ..native import build_connectivity as _native_conn
 
         out = _native_conn(cells)
@@ -273,6 +307,16 @@ def rectangle_grid(
     return Grid(vertices=vertices, cells=cells.astype(np.int32), cell_type=cell_type)
 
 
+def interval_grid(lower: float = 0.0, upper: float = 1.0, num_elements: int = 8) -> Grid:
+    """Uniform 1D interval mesh — the SGrid<1,1> analog
+    (examples/linearelliptic/swipdg.cc:11, cg.cc:19)."""
+    n = int(num_elements)
+    vertices = np.linspace(float(lower), float(upper), n + 1)[:, None]
+    ids = np.arange(n, dtype=np.int32)
+    cells = np.stack([ids, ids + 1], axis=-1)
+    return Grid(vertices=vertices, cells=cells, cell_type=INTERVAL)
+
+
 def refine(grid: Grid) -> Tuple[Grid, RefinementInfo]:
     """Uniform red refinement.  Deterministic numbering:
 
@@ -281,6 +325,32 @@ def refine(grid: Grid) -> Tuple[Grid, RefinementInfo]:
     * fine cells of coarse cell c occupy slots 4c..4c+3.
     """
     nv, nf, nc = grid.num_vertices, grid.num_faces, grid.num_cells
+
+    if grid.cell_type == INTERVAL:
+        # bisection: fine vertices = [coarse vertices] ++ [cell midpoints];
+        # children of cell c occupy slots 2c, 2c+1
+        centre = grid.cell_vertices.mean(axis=1)
+        centre_vid = nv + np.arange(nc, dtype=np.int64)
+        new_vertices = np.concatenate([grid.vertices, centre], axis=0)
+        vertex_parents = np.concatenate(
+            [np.stack([np.arange(nv)] * 2, axis=-1), grid.cells.astype(np.int64)],
+            axis=0,
+        )
+        c = grid.cells.astype(np.int64)
+        ch0 = np.stack([c[:, 0], centre_vid], axis=-1)
+        ch1 = np.stack([centre_vid, c[:, 1]], axis=-1)
+        new_cells = np.stack([ch0, ch1], axis=1).reshape(-1, 2)
+        info = RefinementInfo(
+            vertex_parents=vertex_parents,
+            parent_cell=np.repeat(np.arange(nc, dtype=np.int64), 2),
+            child_index=np.tile(np.arange(2, dtype=np.int64), nc),
+        )
+        return (
+            Grid(vertices=new_vertices, cells=new_cells.astype(np.int32),
+                 cell_type=INTERVAL),
+            info,
+        )
+
     mid = grid.face_vertices.mean(axis=1)
     edge_vid = nv + np.arange(nf, dtype=np.int64)
 

@@ -21,7 +21,7 @@ import numpy as np
 
 from ..affine import AffineDecomposition
 from ..functions.base import Function
-from ..grid.structured import Grid, TRIANGLE
+from ..grid.structured import Grid, INTERVAL, TRIANGLE
 from ..la.sparse import SparseMatrix, SparsityPattern, build_pattern
 from ..parameters import ProductFunctional
 from .quadrature import edge_rule, quad_rule, tri_rule
@@ -78,6 +78,14 @@ def cell_quadrature(grid: Grid, order: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
 def _cell_quadrature_impl(grid: Grid, order: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     verts = jnp.asarray(grid.cell_vertices)
+    if grid.cell_type == INTERVAL:
+        t, w = edge_rule(order)
+        t = jnp.asarray(t)
+        w = jnp.asarray(w)
+        v0, v1 = verts[:, 0, :], verts[:, 1, :]
+        qp = v0[:, None, :] + t[None, :, None] * (v1 - v0)[:, None, :]
+        length = jnp.abs((v1 - v0)[:, 0])
+        return qp, w[None, :] * length[:, None]
     if grid.cell_type == TRIANGLE:
         ref, w = tri_rule(order)
         ref = jnp.asarray(ref)
@@ -107,10 +115,14 @@ def _cell_quadrature_impl(grid: Grid, order: int) -> Tuple[jnp.ndarray, jnp.ndar
 def face_quadrature(
     grid: Grid, order: int, face_ids: Optional[np.ndarray] = None
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Points [F, k, 2] and weights [F, k] (incl. face length) on faces."""
+    """Points [F, k, dim] and weights [F, k] (incl. face length) on faces."""
     fv = jnp.asarray(grid.face_vertices)
     if face_ids is not None:
         fv = fv[jnp.asarray(face_ids)]
+    if grid.cell_type == INTERVAL:
+        # point faces: integrals over a face are point evaluations (weight 1;
+        # the penalty length scale lives in grid.face_volumes, not here)
+        return fv[:, :1, :], jnp.ones(fv.shape[:1] + (1,))
     t, w = edge_rule(order)
     t = jnp.asarray(t)
     w = jnp.asarray(w)

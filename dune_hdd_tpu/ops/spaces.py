@@ -17,7 +17,7 @@ from typing import Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from ..grid.structured import Grid, QUAD, TRIANGLE
+from ..grid.structured import Grid, INTERVAL, QUAD, TRIANGLE
 
 __all__ = ["Space", "cg_space", "dg_space"]
 
@@ -34,14 +34,18 @@ class Space:
     def __post_init__(self):
         if self.order not in (1, 2, 3):
             raise NotImplementedError("orders 1-3 implemented")
-        if self.order == 3 and self.grid.cell_type != TRIANGLE:
-            raise NotImplementedError("order 3 is triangle-only")
+        if self.order == 3 and self.grid.cell_type not in (TRIANGLE, INTERVAL):
+            raise NotImplementedError("order 3 is triangle/interval-only")
         if self.basis == "p1" and (self.continuous or self.order != 1):
             raise ValueError("monomial p1 basis is order-1 DG-only")
+        if self.basis == "p1" and self.grid.cell_type == INTERVAL:
+            raise ValueError("monomial p1 basis is quad-only")
 
     @property
     def shape_count(self) -> int:
         """Local shape functions per cell."""
+        if self.grid.cell_type == INTERVAL:
+            return self.order + 1
         if self.basis == "p1":
             return 3
         if self.order == 3:
@@ -55,6 +59,10 @@ class Space:
     @property
     def num_dofs(self) -> int:
         if self.continuous:
+            if self.grid.cell_type == INTERVAL:
+                # order-1: vertex dofs; higher: + (order-1) interior nodes/cell
+                return (self.grid.num_vertices
+                        + (self.order - 1) * self.grid.num_cells)
             if self.order == 3:
                 return (self.grid.num_vertices + 2 * self.grid.num_faces
                         + self.grid.num_cells)
@@ -78,6 +86,16 @@ class Space:
         edge slot absorbs the edge orientation (canonical = ascending global
         vertex id), so shared edges are conforming."""
         if self.continuous:
+            if self.grid.cell_type == INTERVAL:
+                nv, nc = self.grid.num_vertices, self.grid.num_cells
+                cells = self.grid.cells.astype(np.int64)
+                k = self.order - 1  # interior nodes per cell
+                parts = [cells]
+                if k:
+                    interior = (nv + k * np.arange(nc, dtype=np.int64)[:, None]
+                                + np.arange(k, dtype=np.int64)[None, :])
+                    parts.append(interior)
+                return np.concatenate(parts, axis=1).astype(np.int32)
             if self.order == 3:
                 nv, nf = self.grid.num_vertices, self.grid.num_faces
                 cells = self.grid.cells.astype(np.int64)
@@ -112,6 +130,10 @@ class Space:
         v = self.grid.cell_vertices
         if self.basis == "p1":
             raise NotImplementedError("monomial basis has no nodal points")
+        if self.grid.cell_type == INTERVAL:
+            r = _interval_ref_nodes(self.order)  # [nd]
+            v0, v1 = v[:, 0, :], v[:, 1, :]
+            return v0[:, None, :] + r[None, :, None] * (v1 - v0)[:, None, :]
         if self.order == 1:
             return v
         if self.order == 3:
@@ -131,6 +153,8 @@ class Space:
     # cellverts: [..., nvc, 2]; x: [..., k, 2] physical points inside the cell
     def shape_values(self, cellverts: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
         """[..., k, nd] values of the local basis at physical points."""
+        if self.grid.cell_type == INTERVAL:
+            return _interval_values(cellverts, x, self.order)
         if self.basis == "p1" and self.grid.cell_type == QUAD:
             return _p1_monomial_values(cellverts, x)
         if self.grid.cell_type == TRIANGLE:
@@ -145,7 +169,9 @@ class Space:
         return _quad_shape_values(cellverts, x)
 
     def shape_gradients(self, cellverts: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
-        """[..., k, nd, 2] physical gradients at the points."""
+        """[..., k, nd, dim] physical gradients at the points."""
+        if self.grid.cell_type == INTERVAL:
+            return _interval_grads(cellverts, x, self.order)
         if self.basis == "p1" and self.grid.cell_type == QUAD:
             return _p1_monomial_grads(cellverts, x)
         if self.grid.cell_type == TRIANGLE:
@@ -187,6 +213,59 @@ def dg_space(grid: Grid, order: int = 1, basis: str = "nodal") -> Space:
 
 
 # -- physical-coordinate shape functions -----------------------------------
+
+
+def _interval_ref_nodes(order: int) -> np.ndarray:
+    """Reference nodes on [0,1], vertices first (matches cell_dofs ordering)."""
+    if order == 1:
+        return np.array([0.0, 1.0])
+    if order == 2:
+        return np.array([0.0, 1.0, 0.5])
+    return np.array([0.0, 1.0, 1.0 / 3.0, 2.0 / 3.0])
+
+
+def _interval_rel(cellverts, x):
+    """Reference coordinate r in [0,1] and cell length h.
+
+    cellverts [..., 2, 1], x [..., k, 1] -> (r [..., k], h [...])."""
+    v0 = cellverts[..., 0, 0]
+    h = cellverts[..., 1, 0] - v0
+    return (x[..., 0] - v0[..., None]) / h[..., None], h
+
+
+def _interval_values(cellverts, x, order: int):
+    """[..., k, nd] Lagrange values on intervals (P1/P2/P3, nodes
+    vertices-first)."""
+    r, _ = _interval_rel(cellverts, x)
+    nodes = _interval_ref_nodes(order)
+    cols = []
+    for i, ni in enumerate(nodes):
+        li = jnp.ones_like(r)
+        for j, nj in enumerate(nodes):
+            if j != i:
+                li = li * (r - nj) / (ni - nj)
+        cols.append(li)
+    return jnp.stack(cols, axis=-1)
+
+
+def _interval_grads(cellverts, x, order: int):
+    """[..., k, nd, 1] physical derivatives of the interval Lagrange basis."""
+    r, h = _interval_rel(cellverts, x)
+    nodes = _interval_ref_nodes(order)
+    cols = []
+    for i, ni in enumerate(nodes):
+        others = [nj for j, nj in enumerate(nodes) if j != i]
+        denom = float(np.prod([ni - nj for nj in others]))
+        dli = jnp.zeros_like(r)
+        for skip in range(len(others)):
+            term = jnp.ones_like(r)
+            for j, nj in enumerate(others):
+                if j != skip:
+                    term = term * (r - nj)
+            dli = dli + term
+        cols.append(dli / denom)
+    dref = jnp.stack(cols, axis=-1)  # [..., k, nd]
+    return (dref / h[..., None, None])[..., None]
 
 
 def _tri_shape_values(cellverts, x):

@@ -29,9 +29,10 @@ def create_function_from_config(cfg: Mapping, default_range="scalar"):
         value = cfg.get("value", 1.0)
         if default_range == "matrix":
             value = np.asarray(value, dtype=float)
+            dim = int(cfg.get("dim", 2))  # 1 for interval (SGrid<1,1>) grids
             if value.ndim == 0:
-                return constant_matrix(float(value), name=name)
-            return ConstantFunction(value.reshape(2, 2), name=name)
+                return constant_matrix(float(value), name=name, dim=dim)
+            return ConstantFunction(value.reshape(dim, dim), name=name)
         return ConstantFunction(float(np.asarray(value).ravel()[0]), name=name)
     if t.endswith("expression"):
         return ExpressionFunction(
