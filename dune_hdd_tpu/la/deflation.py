@@ -330,21 +330,23 @@ def refined_deflated_solve(
         return x, k
 
     def cond(state):
-        x, rnorm, k, it = state
+        x, r64, rnorm, k, it = state
         return (rnorm > target) & (k < outer_max)
 
     def body(state):
-        x, rnorm, k, it = state
-        r64 = b64 - A64.matvec(x)
-        # scale the correction equation so the f32 inner solve sees O(1) data
-        scale = jnp.linalg.norm(r64)
+        # carry the f64 residual: rnorm == ||r64|| by construction, so each
+        # sweep costs one emulated-f64 matvec, not two.  The scale keeps the
+        # f32 inner solve seeing O(1) data.
+        x, r64, rnorm, k, it = state
+        scale = rnorm
         dx, ki = inner((r64 / scale).astype(f32))
         x = x + dx.astype(jnp.float64) * scale
-        rnorm = jnp.linalg.norm(b64 - A64.matvec(x))
-        return x, rnorm, k + 1, it + ki
+        r64 = b64 - A64.matvec(x)
+        rnorm = jnp.linalg.norm(r64)
+        return x, r64, rnorm, k + 1, it + ki
 
     x0 = jnp.zeros_like(b64)
-    x, rnorm, k, it = jax.lax.while_loop(
-        cond, body, (x0, bnorm, jnp.int32(0), jnp.int32(0))
+    x, _r, rnorm, k, it = jax.lax.while_loop(
+        cond, body, (x0, b64, bnorm, jnp.int32(0), jnp.int32(0))
     )
     return x, rnorm / jnp.maximum(bnorm, 1e-300)

@@ -1267,22 +1267,25 @@ def stencil_refined_solve(
     target = tol * jnp.maximum(bnorm, 1e-300)
 
     def cond(state):
-        X, rnorm, k, it = state
+        X, R64, rnorm, k, it = state
         return (rnorm > target) & (k < outer_max)
 
     def body(state):
-        X, rnorm, k, it = state
-        R64 = B64 - A64.matvec(X)
-        scale = jnp.linalg.norm(R64)
+        # carry the f64 residual across sweeps: rnorm == ||R64|| by
+        # construction, so each sweep costs ONE emulated-f64 matvec (the
+        # end-of-sweep true residual), not two
+        X, R64, rnorm, k, it = state
+        scale = rnorm
         dX, ki = stencil_pcg(A, (R64 / scale).astype(f32), M,
                              rtol=inner_rtol, maxiter=inner_iters,
                              unroll=unroll, dot_dtype=dot_dtype,
                              vec_dtype=vec_dtype)
         X = X + dX.astype(jnp.float64) * scale
-        rnorm = jnp.linalg.norm(B64 - A64.matvec(X))
-        return X, rnorm, k + 1, it + ki
+        R64 = B64 - A64.matvec(X)
+        rnorm = jnp.linalg.norm(R64)
+        return X, R64, rnorm, k + 1, it + ki
 
     X0 = jnp.zeros_like(B64)
-    X, rnorm, k, it = jax.lax.while_loop(
-        cond, body, (X0, bnorm, jnp.int32(0), jnp.int32(0)))
+    X, _R, rnorm, k, it = jax.lax.while_loop(
+        cond, body, (X0, B64, bnorm, jnp.int32(0), jnp.int32(0)))
     return X, rnorm / jnp.maximum(bnorm, 1e-300), it
