@@ -1,10 +1,19 @@
-"""ESV2007 a-posteriori error estimators for SWIPDG (simplicial grids).
+"""ESV2007 a-posteriori error estimators for SWIPDG.
 
 Orders: P1 with RT0 flux reconstruction (the reference's scope) and — beyond
 the reference's polOrder-1-only estimators — P2 with conforming-P2 Oswald
 averaging (vertex + edge-midpoint nodes) and an RT1 equilibrated flux whose
 edge dofs are P1(e) moments of the SWIPDG numerical flux and whose interior
 dofs enforce div t = Pi_{P1} f (optimal-rate eta_R_*).
+
+Grids: triangles (the reference's scope — all its concrete estimators are
+specialized for ALUGrid<2,2,simplex,conforming> and report available=false
+otherwise, estimators/swipdg.hh:57-71) and — beyond the reference —
+axis-aligned quads (cube grids): Q1 Oswald vertex averaging, RT[0] on
+rectangles (t = (a+bx, c+dy) from the 4 outward face-flux integrals,
+cellwise-constant divergence), and the Q2 conforming node set
+(vertices + edge midpoints + the cell-local center).  RT1 stays
+triangle-only, so order-2 eta_R_*/eta_DF on quads raise.
 
 TPU-native re-design of estimators/swipdg.hh (reference:
 dune/hdd/linearelliptic/estimators/swipdg.hh:57-985).  The reference's
@@ -40,7 +49,7 @@ import numpy as np
 
 from ..functions.base import Function, freeze_function
 from ..grid.boundaryinfo import BoundaryInfo
-from ..grid.structured import Grid, TRIANGLE
+from ..grid.structured import Grid, QUAD, TRIANGLE
 from ..ops.assembly import cell_quadrature, face_quadrature
 from ..ops.norms import evaluate_discrete, evaluate_discrete_gradient
 from ..ops.spaces import Space
@@ -78,25 +87,31 @@ def oswald_interpolation_nodal(space: Space, u: jnp.ndarray,
                                boundary_info: BoundaryInfo) -> jnp.ndarray:
     """DG -> conforming nodal averaging, returned cell-wise [NC, nd].
 
-    P1: vertex averages (GDT::Operators::OswaldInterpolation).  P2 (beyond
-    the reference's polOrder-1 estimators): the conforming node set is
-    vertices + edge midpoints; vertex nodes average over the vertex star,
-    edge nodes over the (<=2) incident cells, and every node lying on a
-    Dirichlet face is set to 0."""
+    P1/Q1: vertex averages (GDT::Operators::OswaldInterpolation).  P2/Q2
+    (beyond the reference's polOrder-1 estimators): the conforming node set
+    is vertices + edge midpoints (+ the cell-local Q2 center, which is not
+    shared and is kept as u's own value); vertex nodes average over the
+    vertex star, edge nodes over the (<=2) incident cells, and every node
+    lying on a Dirichlet face is set to 0."""
     grid = space.grid
     vtx = oswald_interpolation(space, u, boundary_info.dirichlet_vertices)
     v_cells = vtx[jnp.asarray(grid.cells.astype(np.int64))]  # [NC, nvc]
     if space.order == 1:
         return v_cells
-    # P2 edge-midpoint nodes live on local faces (e01, e12, e20) == cell_faces
-    face_ids = jnp.asarray(grid.cell_faces.astype(np.int64))  # [NC, 3]
-    mid_vals = u[jnp.asarray(space.cell_dofs)][..., 3:]  # [NC, 3]
+    # edge-midpoint nodes live on local faces == cell_faces (dofs nvc:2*nvc)
+    nvc = grid.vertices_per_cell
+    face_ids = jnp.asarray(grid.cell_faces.astype(np.int64))  # [NC, nvc]
+    u_cells = u[jnp.asarray(space.cell_dofs)]
+    mid_vals = u_cells[..., nvc:2 * nvc]  # [NC, nvc]
     nf = grid.num_faces
     sums = jnp.zeros(nf, dtype=u.dtype).at[face_ids.reshape(-1)].add(mid_vals.reshape(-1))
     counts = jnp.zeros(nf, dtype=u.dtype).at[face_ids.reshape(-1)].add(1.0)
     mid = sums / counts
     mid = jnp.where(jnp.asarray(boundary_info.dirichlet_faces), 0.0, mid)
-    return jnp.concatenate([v_cells, mid[face_ids]], axis=-1)
+    parts = [v_cells, mid[face_ids]]
+    if grid.cell_type == QUAD:
+        parts.append(u_cells[..., 2 * nvc:])  # Q2 center node: cell-local
+    return jnp.concatenate(parts, axis=-1)
 
 
 def min_diffusion_eigenvalue(lam_fn: Function, kap_fn: Function, grid: Grid,
@@ -305,13 +320,20 @@ def rt0_flux_reconstruction(
     return m0 / jnp.asarray(space.grid.face_volumes)
 
 
+def _rt0_outward_sign(grid: Grid) -> np.ndarray:
+    """+1 where the cell is the face's inside cell (face normal points out
+    of it), -1 otherwise; [NC, nfc]."""
+    cf = grid.cell_faces
+    return np.where(
+        grid.face_cells[cf, 0] == np.arange(grid.num_cells)[:, None], 1.0, -1.0
+    )
+
+
 def _rt0_cell_data(grid: Grid, mean_flux: jnp.ndarray):
     """Outward integral dofs D_e [NC, 3] and opposite vertices P_e [NC, 3, 2]."""
     assert grid.cell_type == TRIANGLE
     cf = grid.cell_faces  # local faces (v0v1, v1v2, v2v0)
-    s = np.where(
-        grid.face_cells[cf, 0] == np.arange(grid.num_cells)[:, None], 1.0, -1.0
-    )
+    s = _rt0_outward_sign(grid)
     fv = grid.face_volumes[cf]
     dofs = mean_flux[jnp.asarray(cf)] * jnp.asarray(s * fv)  # [NC, 3]
     opp = grid.cells[:, [2, 0, 1]]  # vertex opposite each local face
@@ -319,9 +341,46 @@ def _rt0_cell_data(grid: Grid, mean_flux: jnp.ndarray):
     return dofs, P
 
 
+def _rt0_quad_face_values(grid: Grid, mean_flux: jnp.ndarray):
+    """Per-cell RT0 component endpoint values on an axis-aligned rectangle:
+    ((tx0, tx1), (ty0, ty1), lo [NC,2], ext [NC,2]).
+
+    t = (tx(x), ty(y)) with tx linear in x, ty linear in y, determined by
+    the 4 outward face-flux integrals: tx(x0) = -D_west/hy, tx(x1) =
+    D_east/hy, and the y analogue."""
+    assert grid.cell_type == QUAD
+    cf = grid.cell_faces
+    s = _rt0_outward_sign(grid)
+    fv = grid.face_volumes[cf]
+    dofs = mean_flux[jnp.asarray(cf)] * jnp.asarray(s * fv)  # [NC, 4]
+    # classify each local face by its outward normal (exactly axis-aligned)
+    n_out = grid.face_normals[cf] * s[..., None]  # [NC, 4, 2]
+    west = jnp.asarray(n_out[..., 0] < -0.5, dtype=mean_flux.dtype)
+    east = jnp.asarray(n_out[..., 0] > 0.5, dtype=mean_flux.dtype)
+    south = jnp.asarray(n_out[..., 1] < -0.5, dtype=mean_flux.dtype)
+    north = jnp.asarray(n_out[..., 1] > 0.5, dtype=mean_flux.dtype)
+    verts = grid.cell_vertices  # [NC, 4, 2]
+    lo = jnp.asarray(verts.min(axis=1))
+    ext = jnp.asarray(verts.max(axis=1) - verts.min(axis=1))
+    hx, hy = ext[:, 0], ext[:, 1]
+    tx0 = -jnp.sum(dofs * west, axis=1) / hy
+    tx1 = jnp.sum(dofs * east, axis=1) / hy
+    ty0 = -jnp.sum(dofs * south, axis=1) / hx
+    ty1 = jnp.sum(dofs * north, axis=1) / hx
+    return (tx0, tx1), (ty0, ty1), lo, ext
+
+
 def rt0_evaluate(grid: Grid, mean_flux: jnp.ndarray, qp: jnp.ndarray) -> jnp.ndarray:
-    """RT0 field at per-cell points qp [NC, k, 2] -> [NC, k, 2]:
-    t|_T(x) = sum_e D_e (x - P_e) / (2|T|)."""
+    """RT0 field at per-cell points qp [NC, k, 2] -> [NC, k, 2].
+
+    Triangles: t|_T(x) = sum_e D_e (x - P_e) / (2|T|).  Axis-aligned quads:
+    t = (tx(x), ty(y)) with each component linear in its own coordinate."""
+    if grid.cell_type == QUAD:
+        (tx0, tx1), (ty0, ty1), lo, ext = _rt0_quad_face_values(grid, mean_flux)
+        xi = (qp - lo[:, None, :]) / ext[:, None, :]  # [NC, k, 2]
+        tx = tx0[:, None] + xi[..., 0] * (tx1 - tx0)[:, None]
+        ty = ty0[:, None] + xi[..., 1] * (ty1 - ty0)[:, None]
+        return jnp.stack([tx, ty], axis=-1)
     dofs, P = _rt0_cell_data(grid, mean_flux)
     inv2a = jnp.asarray(1.0 / (2.0 * grid.cell_volumes))  # [NC]
     diff = qp[:, :, None, :] - P[:, None, :, :]  # [NC, k, 3, 2]
@@ -329,8 +388,13 @@ def rt0_evaluate(grid: Grid, mean_flux: jnp.ndarray, qp: jnp.ndarray) -> jnp.nda
 
 
 def rt0_divergence(grid: Grid, mean_flux: jnp.ndarray) -> jnp.ndarray:
-    """div t per cell [NC] = sum_e D_e / |T| (constant for RT0)."""
-    dofs, _ = _rt0_cell_data(grid, mean_flux)
+    """div t per cell [NC] = sum_e D_e / |T| (constant for RT0 on triangles
+    AND on axis-aligned rectangles, where div t = (tx1-tx0)/hx +
+    (ty1-ty0)/hy = sum_e D_e / |T| as well)."""
+    cf = grid.cell_faces
+    s = _rt0_outward_sign(grid)
+    fv = grid.face_volumes[cf]
+    dofs = mean_flux[jnp.asarray(cf)] * jnp.asarray(s * fv)  # [NC, nfc]
     return jnp.sum(dofs, axis=1) / jnp.asarray(grid.cell_volumes)
 
 
@@ -394,7 +458,10 @@ def rt1_flux_reconstruction(
       gives div t_h = Pi_{P1} f — the optimal-rate residual term.
     """
     grid = space.grid
-    assert grid.cell_type == TRIANGLE
+    if grid.cell_type != TRIANGLE:
+        raise NotImplementedError(
+            "RT1 flux reconstruction (order-2 eta_R_*/eta_DF) is "
+            "triangle-only; on quads use order-1 spaces (RT0)")
     m0, m1 = _numerical_flux_moments(
         space, u, lam_fn, kap_fn, dirichlet_faces, neumann_faces, g_d, g_n,
         qorder, weight_lam_fn, weight_kap_fn, flux_parts=flux_parts,
