@@ -118,6 +118,28 @@ def test_quad_estimate_local_normalised(solved_levels):
     assert (loc >= 0).all()
 
 
+def test_block_swipdg_os2014_on_quads():
+    """The full LRBMS surface runs on cube grids: BlockSWIPDG DD assembly +
+    the OS2014 estimator (RT0-on-rectangles underneath) with per-subdomain
+    localisation."""
+    from dune_hdd_tpu.discretizations.block_swipdg import (
+        BlockSWIPDGDiscretization,
+    )
+    from dune_hdd_tpu.estimators.block_swipdg import BlockSWIPDGEstimators
+
+    tc = ESV2007TestCase(num_refinements=1, grid_variant="cube")
+    d = BlockSWIPDGDiscretization(tc.level_grid(1), tc.boundary_info(),
+                                  tc.problem, num_partitions=(2, 2))
+    u = d.solve(options={"type": "direct"})
+    assert bool(jnp.all(jnp.isfinite(u)))
+    pars = {"mu": None, "mu_bar": None, "mu_hat": None}
+    eta = BlockSWIPDGEstimators.estimate(d, u, "eta_OS2014", pars)
+    assert np.isfinite(eta) and eta > 0
+    ind = BlockSWIPDGEstimators.estimate_local(d, u, "eta_OS2014", pars)
+    assert ind.shape == (4,)
+    assert (ind > 0).all()
+
+
 def test_q2_quad_eta_nc_works_rt_raises():
     """Q2 quads: eta_NC runs (conforming node set incl. the cell-local
     center); RT-based types raise NotImplementedError (RT1 is
