@@ -70,6 +70,17 @@ record("ESV2007", "cube", 1, {
     "L2": [1.49680e-02, 3.78525e-03, 9.49301e-04, 2.37627e-04],
     "H1_semi": [2.52014e-01, 1.25951e-01, 6.29625e-02, 3.14787e-02],
     "energy": [2.52014e-01, 1.25951e-01, 6.29625e-02, 3.14787e-02],
+    # estimators on quads are beyond the reference (its estimators are
+    # ALU-simplex-only, estimators/swipdg.hh:57-71); RECORDED 2026-08-18
+    # with RT0-on-rectangles + Q1 Oswald (direct solver).  eta_R ==
+    # eta_R_* by construction for RT0 (div t == P0 f exactly); eta_NC
+    # superconverges (~rate 2) on the tensor grid.
+    "eta_NC_ESV2007": [1.575e-02, 4.405e-03, 1.150e-03],
+    "eta_R_ESV2007": [8.852e-02, 2.223e-02, 5.563e-03],
+    "eta_R_ESV2007_*": [8.852e-02, 2.223e-02, 5.563e-03],
+    "eta_DF_ESV2007": [3.515e-01, 1.775e-01, 8.896e-02],
+    "eta_ESV2007": [4.295e-01, 1.966e-01, 9.370e-02],
+    "eta_ESV2007_alt": [4.558e-01, 2.041e-01, 9.567e-02],
 })
 
 # ---------------------------------------------------------------------------

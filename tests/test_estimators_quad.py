@@ -109,6 +109,19 @@ def test_quad_all_types_positive(solved_levels):
         assert np.isfinite(val) and val > 0, t
 
 
+def test_quad_estimators_match_recorded_table(solved_levels):
+    """Hard regression lock against the RECORDED cube-grid table."""
+    from dune_hdd_tpu.studies.expectations import expected_results
+
+    for r, (tc, d, u) in enumerate(solved_levels):
+        for t in SWIPDGEstimators.available():
+            expected = expected_results("ESV2007", "cube", 1, t)
+            assert expected is not None, t
+            est = SWIPDGEstimators.estimate(
+                d.space, d.boundary_info, tc.problem, u, t)
+            assert est == pytest.approx(expected[r], rel=5e-3), (t, r, est)
+
+
 def test_quad_estimate_local_normalised(solved_levels):
     tc, d, u = solved_levels[0]
     loc = SWIPDGEstimators.estimate_local(
