@@ -1,5 +1,6 @@
 from .distributed import initialize_distributed, is_distributed, process_info
 from .halo import HaloShardedSystem, halo_exchange_spec
+from .pipeline import make_stage_mesh, pipeline_parameter_stages
 from .sharded import (
     ShardedAffineSystem,
     make_device_mesh,
@@ -12,6 +13,8 @@ __all__ = [
     "is_distributed",
     "process_info",
     "HaloShardedSystem",
+    "make_stage_mesh",
+    "pipeline_parameter_stages",
     "halo_exchange_spec",
     "ShardedAffineSystem",
     "make_device_mesh",
