@@ -61,10 +61,12 @@ def _select_mid_level(KY: int, KX: int, macro) -> Tuple[Optional[tuple], int]:
     "auto" (default) -> insert a middle level when the fine-to-macro
     aggregation factor reaches 8 (the two-level coarse space degrades at
     H/h >= 8 — measured 1.56 MDoF/s at 3M DoF round 3), choosing the
-    middle lattice at fine-to-mid factor 4 (the factor the 768k config
-    runs at) so the exact coarse solve stays on the ``macro`` level.
+    middle lattice at fine-to-mid factor 2: measured-optimal at 3M with
+    the weighted deflation space (580 ms / 5.30 MDoF/s vs 625 / 4.92 at
+    factor 4, vs 826 / 3.72 two-level; 2026-08-18 sweep), with the exact
+    coarse solve staying on the ``macro`` level.
     BENCH_MID_CHEB: Chebyshev degree of the middle-level solve (<2 -> one
-    balanced two-level application)."""
+    balanced two-level application; degree 3 measured worse, 3.83)."""
     raw = os.environ.get("BENCH_MID", "auto")
     cheb = int(os.environ.get("BENCH_MID_CHEB", "2"))
     if raw == "none":
@@ -79,8 +81,8 @@ def _select_mid_level(KY: int, KX: int, macro) -> Tuple[Optional[tuple], int]:
     fx, fy = KX // macro[0], KY // macro[1]
     if min(fx, fy) < 8:
         return None, cheb
-    # fine-to-mid factor 4 per axis, mid aligned with (a refinement of) macro
-    return (KX // 4, KY // 4), cheb
+    # fine-to-mid factor 2 per axis, mid aligned with (a refinement of) macro
+    return (KX // 2, KY // 2), cheb
 
 
 def build_spe10_bench(bisections: int = 4, maxiter: int = 300,
