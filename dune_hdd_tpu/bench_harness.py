@@ -279,15 +279,28 @@ def build_spe10_bench(bisections: int = 4, maxiter: int = 300,
             ).reshape(KY, KX)
             return jnp.broadcast_to(cf2d[None], (8, KY, KX))
 
+        # the O(N) setup arrays enter the jit as ARGUMENTS, not closed-over
+        # constants: baked into the HLO as literals they total ~500 MB at
+        # 12M DoF, which overflows the axon remote-compile request body
+        # (HTTP 413).  Device-resident jnp arrays passed per call are
+        # zero-copy.
+        _big = {
+            "pre": jax.tree.map(jnp.asarray, dfac_pre),
+            "qp_x": jnp.asarray(splan.vol_qp[..., 0], dtype=jnp.float32),
+            "qp_y": jnp.asarray(splan.vol_qp[..., 1], dtype=jnp.float32),
+            "from_soa": jnp.asarray(_from_soa_g),
+        }
+
         @jax.jit
-        def fused_structured(field):
+        def _fused_structured_impl(field, big):
             with jax.enable_x64(False), jax.default_matmul_precision("highest"):
                 f32field = field.astype(jnp.float32)
                 cf = _broadcast_field(f32field)
                 S = assemble_structured_spe10(
-                    splan, dfac_pre, cf,
+                    splan, big["pre"], cf,
                     family_chunks=int(os.environ.get("BENCH_CHUNKS", "1")))
-                B = structured_rhs(splan, force)
+                B = structured_rhs(splan, force,
+                                   qp_xy=(big["qp_x"], big["qp_y"]))
                 S, B, s = scale_planes(S, B)
                 # weighted deflation space Z_w = diag(1/s) Z: the scaled
                 # system S A S has near-kernel D^{1/2} 1, not constants —
@@ -340,8 +353,11 @@ def build_spe10_bench(bisections: int = 4, maxiter: int = 300,
                     "BENCH_DOTS", "f32") == "f64" else None),
                 vec_dtype=(jnp.float64 if os.environ.get(
                     "BENCH_VEC", "f32") == "f64" else None))
-            u = (X * s.astype(X.dtype)).reshape(-1)[jnp.asarray(_from_soa_g)]
+            u = (X * s.astype(X.dtype)).reshape(-1)[big["from_soa"]]
             return u, res
+
+        def fused_structured(field):
+            return _fused_structured_impl(field, _big)
 
     if preconditioner == "stencil":
         from .la.stencil import (

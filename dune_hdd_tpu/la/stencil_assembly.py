@@ -318,14 +318,21 @@ def precompute_coefficient(plan: StructuredAssemblyPlan, lam_fn,
 
 
 def structured_rhs(plan: StructuredAssemblyPlan, force_fn,
-                   dtype=jnp.float32) -> jnp.ndarray:
+                   dtype=jnp.float32, qp_xy=None) -> jnp.ndarray:
     """SoA rhs [nd, 8, KY, KX]: B[i] = sum_q f(qp_q) qw_q phi_i(qp_q).
     Valid when the force quadrature order <= the plan's volume order.
     Coordinates enter as separate x/y planes (host-side slices): a single
     [..., 2] coordinate constant pads its trailing axis to 128 lanes on
-    TPU — 64x HBM inflation, the OOM at 3M DoF."""
-    x0 = jnp.asarray(plan.vol_qp[..., 0], dtype=dtype)
-    x1 = jnp.asarray(plan.vol_qp[..., 1], dtype=dtype)
+    TPU — 64x HBM inflation, the OOM at 3M DoF.  ``qp_xy=(x0, x1)``: pass
+    the coordinate planes as runtime values instead of trace-time
+    constants (multi-hundred-MB HLO literals overflow the remote-compile
+    request at 12M DoF)."""
+    if qp_xy is not None:
+        x0 = jnp.asarray(qp_xy[0], dtype=dtype)
+        x1 = jnp.asarray(qp_xy[1], dtype=dtype)
+    else:
+        x0 = jnp.asarray(plan.vol_qp[..., 0], dtype=dtype)
+        x1 = jnp.asarray(plan.vol_qp[..., 1], dtype=dtype)
     try:
         f = force_fn((x0, x1))  # [kq, 8, KY, KX]
     except (TypeError, AttributeError, IndexError):
@@ -393,8 +400,9 @@ def assemble_structured_spe10(plan: StructuredAssemblyPlan, lam_fn,
             continue
         cf_list = [fams[f] for f in chunk]
         if pre is not None:
-            a_m = jnp.asarray(pre.lam_m[chunk], dtype=dtype)
-            a_p = jnp.asarray(pre.lam_p[chunk], dtype=dtype)
+            cidx = np.asarray(chunk)
+            a_m = jnp.asarray(pre.lam_m[cidx], dtype=dtype)
+            a_p = jnp.asarray(pre.lam_p[cidx], dtype=dtype)
         else:
             a_m = lam_fn(jnp.asarray(
                 np.stack([f.qp_m for f in cf_list]), dtype=dtype))
