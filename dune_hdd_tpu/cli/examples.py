@@ -63,7 +63,7 @@ class _ExampleBase:
         header = (
             f"# default configuration for {cls.static_id()}\n"
             f"# available grid types: {', '.join(GridProviders.available())}\n"
-            "# available boundary info types: alldirichlet, allneumann, normalbased\n"
+            "# available boundary info types: alldirichlet, allneumann, normalbased, idbased\n"
             f"# available problem types:\n"
             + "".join(f"#   {t}\n" for t in ProblemsProvider.available())
         )

@@ -52,15 +52,35 @@ def _synthetic_model1_field(nx: int = MODEL1_NX, nz: int = MODEL1_NZ) -> np.ndar
     return 10.0 ** (log_lo + b * (log_hi - log_lo))
 
 
-def _read_model1_file(path: str) -> np.ndarray:
-    vals = np.loadtxt(path).ravel()
+def _read_model1_file(path: str, min_value: float = MODEL1_MIN,
+                      max_value: float = MODEL1_MAX) -> np.ndarray:
+    """Parse a perm_case1.dat-format file with dune-stuff reader parity.
+
+    Stuff::Functions::Spe10::Model1 (consumed by the reference's
+    problems/spe10.hh:152-156) reads whitespace-separated doubles (x fastest,
+    then z — the SPE10 model-1 convention) and LINEARLY RESCALES them from the
+    published data range [model1_min_value, model1_max_value] =
+    [0.001, 998.915] into the requested [min, max]:
+    ``perm = scale * raw + shift`` with
+    ``scale = (max - min) / (model1_max - model1_min)`` and
+    ``shift = min - scale * model1_min``.  There is NO clamping of file data —
+    with the default range the transform is the identity.
+    """
+    if not max_value > min_value:
+        raise ValueError(f"need max > min, got [{min_value}, {max_value}]")
+    # token-stream parse (``datafile >> value`` loop parity): the real file's
+    # line structure is irrelevant and its last line may be ragged
+    with open(path) as fh:
+        vals = np.array(fh.read().split(), dtype=float)
     need = MODEL1_NX * MODEL1_NZ
     if vals.size < need:
         raise ValueError(
             f"SPE10 model1 file {path!r} has {vals.size} values, need {need}"
         )
+    scale = (max_value - min_value) / (MODEL1_MAX - MODEL1_MIN)
+    shift = min_value - scale * MODEL1_MIN
     # file layout: x fastest, then z (SPE10 convention)
-    return vals[:need].reshape(MODEL1_NZ, MODEL1_NX).T
+    return scale * vals[:need].reshape(MODEL1_NZ, MODEL1_NX).T + shift
 
 
 class Spe10Model1Function(Function):
@@ -89,12 +109,12 @@ class Spe10Model1Function(Function):
         self.synthetic = True
         for p in paths:
             if os.path.isfile(p):
-                field = _read_model1_file(p)
+                # dune-stuff reader parity: linear rescale, no clamp
+                field = _read_model1_file(p, min_value, max_value)
                 self.synthetic = False
                 break
         if field is None:
-            field = _synthetic_model1_field()
-        field = np.clip(field, min_value, max_value)
+            field = np.clip(_synthetic_model1_field(), min_value, max_value)
         self.field = jnp.asarray(field)  # [NX, NZ]
 
     def permeability(self, x):

@@ -86,6 +86,26 @@ def test_cg_nonzero_dirichlet_mixed_boundaries():
     assert float(jnp.max(u)) > 0.25
 
 
+def test_cg_idbased_boundary_matches_normalbased():
+    """IdBased boundary info (discreteproblem.hh:128-132 accepts arbitrary
+    boundary configs incl. IdBased) must yield the identical discretization
+    as the equivalent NormalBased classification on a cube grid."""
+    problem = MixedBoundariesProblem()
+    grid = rectangle_grid((0, 0), (1, 1), (12, 12), "quad")
+    bi_id = {"type": "stuff.grid.boundaryinfo.idbased",
+             "default": "dirichlet", "neumann": "1 2"}
+    bi_nb = {
+        "type": "stuff.grid.boundaryinfo.normalbased",
+        "default": "dirichlet",
+        "neumann": [[-1.0, 0.0], [1.0, 0.0]],
+    }
+    u_id = CGDiscretization(grid, bi_id, problem).solve_with_dirichlet_shift(
+        options={"type": "direct"})
+    u_nb = CGDiscretization(grid, bi_nb, problem).solve_with_dirichlet_shift(
+        options={"type": "direct"})
+    np.testing.assert_allclose(np.asarray(u_id), np.asarray(u_nb), atol=1e-13)
+
+
 def test_cg_parametric_affine_consistency():
     """Frozen parametric operator must equal the operator assembled from the
     frozen problem."""

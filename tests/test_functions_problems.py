@@ -89,6 +89,43 @@ def test_spe10_function_synthetic():
     assert np.all(np.asarray(lam) >= 0.001) and np.all(np.asarray(lam) <= 998.915)
 
 
+def test_spe10_function_file_reader():
+    """Real-format file path: perm_case1.dat-layout fixture (x fastest, then
+    z) exercised through the dune-stuff reader semantics — linear rescale
+    from the published [0.001, 998.915] range, no clamp (spe10.hh:152-156)."""
+    import os
+
+    fixture = os.path.join(os.path.dirname(__file__), "data",
+                           "perm_case1_fixture.dat")
+    raw = np.array(open(fixture).read().split(), dtype=float)
+    assert raw.size == 100 * 20
+    f = Spe10Model1Function(filename=fixture)
+    assert not f.synthetic
+    # default range: identity transform — field == file values, x fastest
+    field = np.asarray(f.field)  # [NX, NZ]
+    np.testing.assert_allclose(field, raw.reshape(20, 100).T, rtol=1e-12)
+    # cell binning: x in [0,5), z in [0,1) map to (ix, iz) cells of 100x20
+    x = jnp.array([[0.025, 0.025], [4.975, 0.975], [2.525, 0.525]])
+    lam = np.asarray(f.permeability(x))
+    np.testing.assert_allclose(
+        lam, [field[0, 0], field[99, 19], field[50, 10]], rtol=1e-12)
+    # non-default range: scale/shift parity with Stuff::Functions::Spe10
+    lo, hi = 1.0, 2.0
+    f2 = Spe10Model1Function(filename=fixture, min_value=lo, max_value=hi)
+    scale = (hi - lo) / (998.915 - 0.001)
+    shift = lo - scale * 0.001
+    np.testing.assert_allclose(
+        np.asarray(f2.field), scale * field + shift, rtol=1e-10)
+    # the fixture pins the published extrema, so the rescaled range is exact
+    assert float(np.asarray(f2.field).min()) == pytest.approx(lo)
+    assert float(np.asarray(f2.field).max()) == pytest.approx(hi)
+    # the problem facade plumbs the filename through (problems/spe10.hh:131)
+    p = Spe10Model1Problem(filename=fixture)
+    tens = p.diffusion_tensor.affine_part
+    out = np.asarray(tens(jnp.array([[0.025, 0.025]])))
+    np.testing.assert_allclose(out[0], field[0, 0] * np.eye(2), rtol=1e-12)
+
+
 def test_esv2007_problem():
     p = ESV2007Problem()
     assert not p.parametric()

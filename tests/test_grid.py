@@ -93,6 +93,46 @@ def test_boundary_info():
     assert not (bi2.neumann_faces & bi2.dirichlet_faces).any()
 
 
+def test_boundary_info_idbased():
+    from dune_hdd_tpu.grid.boundaryinfo import boundary_id_faces
+
+    g = rectangle_grid((0, 0), (1, 1), (4, 4), "quad")
+    ids = boundary_id_faces(g)
+    # cube-grid segment ids: left=1 right=2 bottom=3 top=4, interior=0
+    assert set(np.unique(ids)) == {0, 1, 2, 3, 4}
+    assert (ids[g.boundary_faces] > 0).all() and (ids[~g.boundary_faces] == 0).all()
+    for bid in (1, 2, 3, 4):
+        assert (ids == bid).sum() == 4
+    centers = g.vertices[g.faces].mean(axis=1)
+    np.testing.assert_allclose(centers[ids == 1, 0], 0.0, atol=1e-12)
+    np.testing.assert_allclose(centers[ids == 2, 0], 1.0, atol=1e-12)
+    np.testing.assert_allclose(centers[ids == 3, 1], 0.0, atol=1e-12)
+    np.testing.assert_allclose(centers[ids == 4, 1], 1.0, atol=1e-12)
+    # the reference's multiscale idiom: cfg["neumann"] = "7" (a string id;
+    # block-swipdg.hh:119), everything else defaults to dirichlet
+    bi = make_boundary_info(
+        g, {"type": "stuff.grid.boundaryinfo.idbased", "neumann": "7"})
+    assert bi.dirichlet_faces.sum() == 16 and bi.neumann_faces.sum() == 0
+    # left/right neumann by id == left/right neumann by normal
+    bi_id = make_boundary_info(
+        g, {"type": "stuff.grid.boundaryinfo.idbased",
+            "default": "dirichlet", "neumann": [1, 2]})
+    bi_nb = make_boundary_info(
+        g, {"type": "stuff.grid.boundaryinfo.normalbased",
+            "default": "dirichlet", "neumann": [[-1.0, 0.0], [1.0, 0.0]]})
+    np.testing.assert_array_equal(bi_id.neumann_faces, bi_nb.neumann_faces)
+    np.testing.assert_array_equal(bi_id.dirichlet_faces, bi_nb.dirichlet_faces)
+    # default=neumann flips the unlisted ids
+    bi3 = make_boundary_info(
+        g, {"type": "stuff.grid.boundaryinfo.idbased",
+            "default": "neumann", "dirichlet": "3 4"})
+    assert bi3.dirichlet_faces.sum() == 8 and bi3.neumann_faces.sum() == 8
+    with pytest.raises(ValueError):
+        make_boundary_info(
+            g, {"type": "stuff.grid.boundaryinfo.idbased",
+                "dirichlet": [1], "neumann": [1, 2]})
+
+
 def test_grid_provider():
     g = GridProviders.create(
         "stuff.grid.provider.cube",
