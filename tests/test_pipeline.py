@@ -1,16 +1,22 @@
 """Stage pipelining (PP) on the virtual CPU mesh: a GPipe-style
-assemble→solve→estimate schedule over a 3-device "stage" axis (SURVEY §2.8
-PP row).  Equality against the identical stage functions run sequentially,
-true-solution accuracy, and the collective structure of the compiled
-program."""
+assemble→solve→estimate schedule over a "stage" mesh axis (SURVEY §2.8 PP
+row).  The affine component stacks — the pipeline's "weights" — are sharded
+over the assembly stages, so no device materializes the full decomposition
+(the memory rationale for pipelining).  Tests: equality against the
+identical stage functions run sequentially (3- and 5-stage meshes), the
+real in-pipeline ESV2007 estimate stage against the host front-end,
+true-solution accuracy, the sharded-stack memory layout, and the collective
+structure of the compiled program."""
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+from jax.sharding import Mesh
 
 from dune_hdd_tpu.discretizations import SWIPDGDiscretization
 from dune_hdd_tpu.grid import alu_cube_grid
 from dune_hdd_tpu.parallel.pipeline import (
+    EstimatorStage,
     make_stage_mesh,
     pipeline_parameter_stages,
     sequential_parameter_stages,
@@ -39,9 +45,10 @@ def setup():
     return d, op, rhs, th_op, th_rhs
 
 
-def test_pipeline_matches_sequential(setup):
+@pytest.mark.parametrize("num_stages", [3, 5])
+def test_pipeline_matches_sequential(setup, num_stages):
     d, op, rhs, th_op, th_rhs = setup
-    mesh = make_stage_mesh()
+    mesh = make_stage_mesh(num_stages=num_stages)
     u_pp, est_pp = pipeline_parameter_stages(
         op, rhs, th_op, th_rhs, mesh=mesh, cg_iters=400, dtype=jnp.float64)
     u_seq, est_seq = sequential_parameter_stages(
@@ -50,6 +57,60 @@ def test_pipeline_matches_sequential(setup):
                                rtol=0, atol=1e-12)
     np.testing.assert_allclose(np.asarray(est_pp), np.asarray(est_seq),
                                rtol=0, atol=1e-12)
+
+
+def test_pipeline_estimate_stage_equals_host_frontend(setup):
+    """The REAL estimator kernels (Oswald eta_NC, RT0 eta_DF, eta_R_*) run
+    inside the jitted estimate stage at each item's μ and equal the public
+    host front-end ``SWIPDGEstimators.estimate`` (which the sequential
+    baseline calls)."""
+    d, op, rhs, th_op, th_rhs = setup
+    mus = [{"diffusion_factor": jnp.array(v)} for v in MUS]
+    est = EstimatorStage(d.space, d.boundary_info, d.problem, mus)
+    mesh = make_stage_mesh(num_stages=4)
+    u_pp, est_pp = pipeline_parameter_stages(
+        op, rhs, th_op, th_rhs, mesh=mesh, cg_iters=800, dtype=jnp.float64,
+        estimator=est)
+    u_seq, est_seq = sequential_parameter_stages(
+        op, rhs, th_op, th_rhs, cg_iters=800, dtype=jnp.float64,
+        estimator=est)
+    assert est_pp.shape == (len(MUS), 2 + len(est.types))
+    np.testing.assert_allclose(np.asarray(est_pp), np.asarray(est_seq),
+                               rtol=0, atol=1e-12)
+    # the estimator columns are real (nonzero) for the parametric items
+    assert np.all(np.asarray(est_pp[1:, 2]) > 0)
+
+
+def test_pipeline_weight_shards_live_on_assembly_stages(setup):
+    """Memory rationale: with S stages and A = S - 2 assembly stages, each
+    device holds a ceil(Q/A)-component shard of the affine stacks, and the
+    solve/estimate devices' shards are pure zero padding — no device
+    materializes the full decomposition."""
+    d, op, rhs, th_op, th_rhs = setup
+    S = 5
+    mesh = make_stage_mesh(num_stages=S)
+    Q = th_op.shape[1]
+    A = S - 2
+    out = pipeline_parameter_stages(
+        op, rhs, th_op, th_rhs, mesh=mesh, cg_iters=50, dtype=jnp.float64,
+        _return_stacks=True)
+    vals_pad, rhs_pad = out[-1]
+    Qc = -(-Q // A)
+    assert vals_pad.shape[0] == S * Qc
+    shards = {s.device.id: np.asarray(s.data)
+              for s in vals_pad.addressable_shards}
+    devs = [dev.id for dev in mesh.devices.ravel()]
+    for s_idx, dev_id in enumerate(devs):
+        shard = shards[dev_id]
+        assert shard.shape[0] == Qc  # per-device footprint is Q/A, not Q
+        if s_idx >= A:  # solve + estimate stages: zeros only
+            assert not np.any(shard)
+    # the assembly stages together hold exactly the full stack
+    from dune_hdd_tpu.parallel.pipeline import _ell_stacks
+
+    ell_vals, _, _, _, _ = _ell_stacks(op, rhs, jnp.float64)
+    full = np.concatenate([shards[d_] for d_ in devs[:A]])[:Q]
+    np.testing.assert_array_equal(full, np.asarray(ell_vals))
 
 
 def test_pipeline_solutions_are_solutions(setup):
@@ -69,22 +130,34 @@ def test_pipeline_solutions_are_solutions(setup):
 
 def test_pipeline_hlo_uses_collective_permute(setup):
     """The inter-stage activation transfer lowers to collective-permute
-    (the ICI-ring primitive), not all-gather/all-reduce of the payload."""
-    from dune_hdd_tpu.parallel.pipeline import _ell_stacks, _pipeline_jit
+    (the ICI-ring primitive) — the payload is handed point-to-point, not
+    all-gathered."""
+    from dune_hdd_tpu.parallel.pipeline import (_build_pipeline, _ell_stacks,
+                                                _pad_rows)
 
     d, op, rhs, th_op, th_rhs = setup
     mesh = make_stage_mesh()
+    S = mesh.shape["stage"]
+    A = S - 2
     ell_vals, ell_cols, rhs_stack, _, _ = _ell_stacks(op, rhs, jnp.float64)
-    lowered = _pipeline_jit.lower(mesh, th_op, th_rhs, ell_vals, ell_cols,
-                                  rhs_stack, 10)
-    hlo = lowered.as_text()
+    Qc = -(-ell_vals.shape[0] // A)
+    Qcr = -(-rhs_stack.shape[0] // A)
+    vals_pad = _pad_rows(ell_vals, Qc, S)
+    rhs_pad = _pad_rows(rhs_stack, Qcr, S)
+    th_op_p = jnp.zeros((th_op.shape[0], S * Qc), th_op.dtype
+                        ).at[:, : th_op.shape[1]].set(th_op)
+    th_rhs_p = jnp.zeros((th_rhs.shape[0], S * Qcr), th_rhs.dtype
+                         ).at[:, : th_rhs.shape[1]].set(th_rhs)
+    fn = _build_pipeline(mesh, 10, 2, None)
+    lowered = fn.lower(th_op_p, th_rhs_p, vals_pad, ell_cols, rhs_pad, {})
+    hlo = lowered.compile().as_text()
     assert "collective-permute" in hlo or "collective_permute" in hlo
 
 
 def test_pipeline_rejects_bad_mesh(setup):
-    from jax.sharding import Mesh
-
     d, op, rhs, th_op, th_rhs = setup
-    bad = Mesh(np.asarray(jax.devices()[:4]), axis_names=("stage",))
+    with pytest.raises(ValueError):
+        make_stage_mesh(num_stages=2)
+    bad = Mesh(np.asarray(jax.devices()[:2]), axis_names=("stage",))
     with pytest.raises(ValueError):
         pipeline_parameter_stages(op, rhs, th_op, th_rhs, mesh=bad)
