@@ -58,31 +58,46 @@ def _select_mid_level(KY: int, KX: int, macro) -> Tuple[Optional[tuple], int]:
     """(mid_shape, mid_cheb) for the stencil deflation preconditioner.
 
     BENCH_MID: "none" -> two-level; "mx,my" -> explicit middle lattice;
-    "auto" (default) -> insert a middle level when the fine-to-macro
-    aggregation factor reaches 8 (the two-level coarse space degrades at
-    H/h >= 8 — measured 1.56 MDoF/s at 3M DoF round 3), choosing the
-    middle lattice at fine-to-mid factor 2: measured-optimal at 3M with
-    the weighted deflation space (580 ms / 5.30 MDoF/s vs 625 / 4.92 at
-    factor 4, vs 826 / 3.72 two-level; 2026-08-18 sweep), with the exact
-    coarse solve staying on the ``macro`` level.
-    BENCH_MID_CHEB: Chebyshev degree of the middle-level solve (<2 -> one
+    "mx1,my1;mx2,my2;..." -> explicit multi-level chain; "auto" (default)
+    -> insert middle levels when the fine-to-macro aggregation factor
+    reaches 8 (the two-level coarse space degrades at H/h >= 8 — measured
+    1.56 MDoF/s at 3M DoF round 3): a factor-2 chain starting at fine/2
+    (measured-optimal at 3M: 580 ms / 5.30 MDoF/s vs 625 / 4.92 at factor
+    4, vs 826 / 3.72 two-level; 2026-08-18 sweep), halving until the gap
+    to the exact ``macro`` level is <= 4 (at 12.3M DoF a single mid leaves
+    a factor-8 gap and the 6-sweep refinement stalls at 2e-3 residual).
+    BENCH_MID_CHEB: Chebyshev degree of the middle-level solves (<2 -> one
     balanced two-level application; degree 3 measured worse, 3.83)."""
     raw = os.environ.get("BENCH_MID", "auto")
     cheb = int(os.environ.get("BENCH_MID_CHEB", "2"))
     if raw == "none":
         return None, cheb
     if raw != "auto":
-        mid = tuple(int(x) for x in raw.split(","))
-        if len(mid) != 2 or mid[0] <= 0 or mid[1] <= 0:
-            raise ValueError(f"BENCH_MID must be 'mx,my', 'auto' or 'none', got {raw!r}")
-        return mid, cheb
+        mids = []
+        for part in raw.split(";"):
+            mid = tuple(int(x) for x in part.split(","))
+            if len(mid) != 2 or mid[0] <= 0 or mid[1] <= 0:
+                raise ValueError(
+                    f"BENCH_MID must be 'mx,my[;mx2,my2...]', 'auto' or "
+                    f"'none', got {raw!r}")
+            mids.append(mid)
+        return (mids[0] if len(mids) == 1 else mids), cheb
     if macro is None or KX % macro[0] or KY % macro[1]:
         return None, cheb
     fx, fy = KX // macro[0], KY // macro[1]
     if min(fx, fy) < 8:
         return None, cheb
-    # fine-to-mid factor 2 per axis, mid aligned with (a refinement of) macro
-    return (KX // 2, KY // 2), cheb
+    # factor-2 chain: fine/2, fine/4, ... until the gap to macro is <= 4
+    mids = []
+    mx, my = KX // 2, KY // 2
+    while mx % macro[0] == 0 and my % macro[1] == 0:
+        mids.append((mx, my))
+        if mx // macro[0] <= 4 or mx % 2 or my % 2:
+            break
+        mx, my = mx // 2, my // 2
+    if not mids:
+        return None, cheb
+    return (mids[0] if len(mids) == 1 else mids), cheb
 
 
 def build_spe10_bench(bisections: int = 4, maxiter: int = 300,

@@ -969,33 +969,64 @@ def _middle_inverse(bands1: dict, my1: int, mx1: int, macro_shape,
     polynomial of the preconditioned operator.  A fixed symmetric positive
     linear operator (NOT an inner Krylov solve), so the enclosing fine-level
     PCG stays a valid PCG."""
-    mx2, my2 = int(macro_shape[0]), int(macro_shape[1])
+    return _multilevel_inverse(bands1, my1, mx1, [tuple(macro_shape)],
+                               newton_schulz=newton_schulz,
+                               cheb_degree=cheb_degree,
+                               cheb_ratio=cheb_ratio, dtype=dtype)
+
+
+def _multilevel_inverse(bands1: dict, my1: int, mx1: int, shapes,
+                        newton_schulz: int = 2, cheb_degree: int = 2,
+                        cheb_ratio: float = 8.0,
+                        dtype=jnp.float32) -> Optional[Callable]:
+    """Recursive generalization of :func:`_middle_inverse`: ``shapes`` is a
+    list of successively coarser ``(mx, my)`` lattices; the LAST one is
+    solved exactly (dense/BCR), every intermediate one by recursion.  Each
+    level is the same balanced two-level operator (Jacobi smoothing + the
+    next level's inverse as its coarse solve), optionally Chebyshev-wrapped
+    — so the whole chain stays a fixed SPD operator and the enclosing PCG
+    remains a valid PCG.
+
+    Needed at 12M+ DoF: the single-mid hierarchy leaves a factor-8 gap
+    between the mid lattice and the exact ``macro`` level (measured at
+    12.3M: the 6-sweep refinement stalls at 2e-3 true residual); a factor-2
+    chain keeps every gap <= 4."""
+    mx2, my2 = int(shapes[0][0]), int(shapes[0][1])
     if mx1 % mx2 or my1 % my2:
         return None
     gy, gx = my1 // my2, mx1 // mx2
     bands2 = _aggregate_bands(bands1, my1, mx1, gy, gx)
-    E2 = _bands_to_dense(bands2, my2, mx2)
-    if gx >= 2 and mx2 * my2 > 4096:
-        coarse2 = _coarse_inverse_bcr_factored(E2, mx2, my2)
-    elif gx >= 2:
-        coarse2 = _coarse_inverse_bcr(E2, mx2, my2, newton_schulz)
+    if len(shapes) == 1:
+        E2 = _bands_to_dense(bands2, my2, mx2)
+        if gx >= 2 and mx2 * my2 > 4096:
+            coarse2_flat = _coarse_inverse_bcr_factored(E2, mx2, my2)
+        elif gx >= 2:
+            coarse2_flat = _coarse_inverse_bcr(E2, mx2, my2, newton_schulz)
+        else:
+            coarse2_flat = _coarse_inverse(E2, newton_schulz)
+
+        def coarse2(r2d):  # [my2, mx2] -> [my2, mx2] via x-major flat solve
+            return coarse2_flat(r2d.T.reshape(-1)).reshape(mx2, my2).T
     else:
-        coarse2 = _coarse_inverse(E2, newton_schulz)
+        coarse2 = _multilevel_inverse(bands2, my2, mx2, shapes[1:],
+                                      newton_schulz=newton_schulz,
+                                      cheb_degree=cheb_degree,
+                                      cheb_ratio=cheb_ratio, dtype=dtype)
+        if coarse2 is None:
+            return None
     E1mv = _band_matvec(bands1)
     d1 = bands1[(0, 0)]
     Dinv = jnp.where(d1 != 0, 1.0 / jnp.where(d1 != 0, d1, 1.0), 0.0)
 
-    def aggsumc(r):  # [my1, mx1] -> flat [mx2*my2] (x-major, BCR order)
-        rc = r.reshape(my2, gy, mx2, gx).sum(axis=(1, 3))
-        return rc.T.reshape(-1)
+    def aggsum2(r):  # [my1, mx1] -> [my2, mx2]
+        return r.reshape(my2, gy, mx2, gx).sum(axis=(1, 3))
 
-    def bcastc(yc):
-        g = yc.reshape(mx2, my2).T  # [my2, mx2]
+    def bcast2(yc):  # [my2, mx2] -> [my1, mx1]
         return jnp.broadcast_to(
-            g[:, None, :, None], (my2, gy, mx2, gx)).reshape(my1, mx1)
+            yc[:, None, :, None], (my2, gy, mx2, gx)).reshape(my1, mx1)
 
     def Q2(r):
-        return bcastc(coarse2(aggsumc(r)))
+        return bcast2(coarse2(aggsum2(r)))
 
     def P1(r):
         qr = Q2(r)
@@ -1035,7 +1066,11 @@ def stencil_deflation_preconditioner(
     by a fixed Jacobi + exact-``macro_shape``-coarse two-level operator,
     optionally Chebyshev-accelerated (``mid_cheb``) — so M stays a fixed
     SPD operator and the outer iteration remains plain PCG.  mid_shape must
-    tile the lattice and be a multiple of macro_shape.
+    tile the lattice and be a multiple of macro_shape.  A SEQUENCE of
+    shapes ``[(mx1, my1), (mx2, my2), ...]`` builds the full multi-level
+    chain (``_multilevel_inverse``): each intermediate lattice is handled
+    by Jacobi + the next level, the ``macro_shape`` level stays the exact
+    solve — needed at 12M+ DoF where one mid leaves a factor-8 gap.
 
     ``weight`` [nd, 8, KY, KX]: per-dof weights of the deflation space
     Z_w = diag(w) Z (each coarse vector = w restricted to an aggregate
@@ -1061,14 +1096,17 @@ def stencil_deflation_preconditioner(
             for s in range(4)
         ])  # [4, 8, KY, KX]
     if mid_shape is not None:
-        agg = _aggregation2d(A, mid_shape)
+        mids = ([tuple(mid_shape)] if isinstance(mid_shape[0], (int, np.integer))
+                else [tuple(m) for m in mid_shape])
+        agg = _aggregation2d(A, mids[0])
         if agg is None:
             return None
         bands1 = _stencil_bands(A, agg, Pw)
-        coarse = _middle_inverse(bands1, agg.my, agg.mx, macro_shape,
-                                 newton_schulz=newton_schulz,
-                                 cheb_degree=mid_cheb,
-                                 dtype=A.planes.dtype)
+        coarse = _multilevel_inverse(bands1, agg.my, agg.mx,
+                                     mids[1:] + [tuple(macro_shape)],
+                                     newton_schulz=newton_schulz,
+                                     cheb_degree=mid_cheb,
+                                     dtype=A.planes.dtype)
         if coarse is None:
             return None
         if smoother is None:

@@ -479,3 +479,77 @@ def test_weighted_deflation_beats_unweighted_on_contrast(system):
     r64 = (rhs.astype(jnp.float64)
            - S.astype(jnp.float64).matvec(Xw.astype(jnp.float64)))
     assert float(jnp.linalg.norm(r64)) <= 1e-4
+
+
+def test_multilevel_mid_chain(system):
+    """The recursive multi-level mid chain (``_multilevel_inverse``):
+    symmetric SPD operator, and PCG with the full chain converges to a true
+    residual like the single-mid version (needed at 12M+ DoF where one mid
+    leaves a factor-8 gap to the exact macro level)."""
+    from dune_hdd_tpu.la.stencil import stencil_pcg
+
+    grid, A, b, order = system
+    S = StencilBlockEll.from_block_ell(A, order)
+    KY, KX = S.lattice  # (40, 200)
+    macro = (25, 5)     # exact level, factor 8 from fine
+    chain = [(KX // 2, KY // 2), (KX // 4, KY // 4)]  # gaps 2, 2, 2
+    rng = np.random.default_rng(7)
+    r1 = jnp.asarray(rng.standard_normal((A.nd, 8, KY, KX)), jnp.float32)
+    r2 = jnp.asarray(rng.standard_normal((A.nd, 8, KY, KX)), jnp.float32)
+    M = stencil_deflation_preconditioner(S, macro, newton_schulz=2,
+                                         mid_shape=chain)
+    assert M is not None
+    # symmetry (PCG contract)
+    lhs = float(jnp.vdot(M(r1), r2))
+    rhs_ = float(jnp.vdot(r1, M(r2)))
+    assert lhs == pytest.approx(rhs_, rel=5e-4)
+    # convergence to a true residual
+    bn = float(jnp.linalg.norm(b))
+    Bs = StencilBlockEll.from_block_ell(A, order)  # noqa: F841 (layout)
+    from dune_hdd_tpu.la.stencil import soa_index_maps
+    maps = soa_index_maps(order, A.nd)
+    B = (b / bn)[jnp.asarray(maps.to_soa)].reshape(A.nd, 8, KY, KX)
+    # quality bar: the chain must match the single-mid preconditioner on
+    # this (unweighted-space) system — same true-residual floor (the f32
+    # floor without the weighted space, ~5e-4 here; the production path
+    # adds the weight + f64 refinement) and comparable iterations
+    X, it = stencil_pcg(S, B, M, rtol=1e-5, maxiter=2000, unroll=1)
+    r64 = (B.astype(jnp.float64)
+           - S.astype(jnp.float64).matvec(X.astype(jnp.float64)))
+    res_chain = float(jnp.linalg.norm(r64))
+    M1 = stencil_deflation_preconditioner(S, macro, newton_schulz=2,
+                                          mid_shape=chain[0])
+    X1, it1 = stencil_pcg(S, B, M1, rtol=1e-5, maxiter=2000, unroll=1)
+    r64_1 = (B.astype(jnp.float64)
+             - S.astype(jnp.float64).matvec(X1.astype(jnp.float64)))
+    res_single = float(jnp.linalg.norm(r64_1))
+    assert res_chain <= 3 * max(res_single, 1e-6), (res_chain, res_single)
+    assert int(it) <= 2 * int(it1), (int(it), int(it1))
+
+
+def test_select_mid_level_builds_chain():
+    """Auto mid selection: single factor-2 mid at 3M-DoF lattice sizes, a
+    factor-2 chain at 12M+ where one mid would leave a factor-8 gap."""
+    import os as _os
+    from unittest import mock
+
+    from dune_hdd_tpu.bench_harness import _select_mid_level
+
+    with mock.patch.dict(_os.environ, {}, clear=False):
+        _os.environ.pop("BENCH_MID", None)
+        # 3M lattice (KY=160, KX=800), macro (100, 20): one mid at fine/2
+        mid, _ = _select_mid_level(160, 800, (100, 20))
+        assert mid == (400, 80)
+        # 12M lattice (KY=320, KX=1600): chain fine/2 -> fine/4
+        mid, _ = _select_mid_level(320, 1600, (100, 20))
+        assert mid == [(800, 160), (400, 80)]
+        # 49M lattice (KY=640, KX=3200): chain down to gap 4
+        mid, _ = _select_mid_level(640, 3200, (100, 20))
+        assert mid == [(1600, 320), (800, 160), (400, 80)]
+        # 768k (KY=80, KX=400): factor 4 -> no mid
+        mid, _ = _select_mid_level(80, 400, (100, 20))
+        assert mid is None
+    # explicit chain parsing
+    with mock.patch.dict(_os.environ, {"BENCH_MID": "800,160;400,80"}):
+        mid, _ = _select_mid_level(320, 1600, (100, 20))
+        assert mid == [(800, 160), (400, 80)]
