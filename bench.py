@@ -57,22 +57,35 @@ def main():
     # stencil2 operator is asserted (matvec equality on random vectors, rhs
     # exact) against the BlockSWIPDG global system = sum of per-subdomain
     # local operators + pairwise coupling operators on the [20 4 1]
-    # north-star partitioning (block-swipdg.hh:262-551).  Runs on the same
-    # grid family at BENCH_PROVENANCE bisections (host assembly of 80 local
-    # systems is too slow at the full bench size; the stencil2<->block-ELL
-    # and global==sum-of-blocks identities are additionally pinned across
-    # sizes in tests/).
+    # north-star partitioning (block-swipdg.hh:262-551).  Runs AT BENCH
+    # SIZE up to 768k (the check is pinned to the host CPU backend — see
+    # block_provenance_check — and costs ~3 min at 768k on one core;
+    # beyond that it is capped at 6 bisections unless BENCH_PROVENANCE
+    # forces a size: the 3M identity is recorded in docs/ROADMAP.md and
+    # pinned in tests/ across sizes).
     prov_env = os.environ.get("BENCH_PROVENANCE", "auto")
     if prov_env != "off":
         from dune_hdd_tpu.bench_harness import block_provenance_check
 
-        prov_b = min(bisections, 2) if prov_env == "auto" else int(prov_env)
+        prov_b = min(bisections, 6) if prov_env == "auto" else int(prov_env)
         try:
             prov = block_provenance_check(bisections=prov_b)
             prov["ok"] = True
         except Exception as exc:  # noqa: BLE001 - keep the JSON line emitted
             prov = {"artifact": "block-swipdg", "ok": False, "error": str(exc)}
         out["provenance"] = prov
+    # roofline honesty: achieved HBM GB/s of the hot phases vs the measured
+    # copy roofline, so bandwidth regressions are visible per round.
+    # Compiles three small programs at bench size — skipped above 8
+    # bisections (tunnel compile cost) unless BENCH_ROOFLINE forces it.
+    roof_env = os.environ.get("BENCH_ROOFLINE", "auto")
+    if roof_env != "off" and (roof_env != "auto" or bisections <= 8):
+        from dune_hdd_tpu.bench_harness import stencil2_roofline
+
+        try:
+            out["roofline"] = stencil2_roofline(bisections=bisections)
+        except Exception as exc:  # noqa: BLE001 - diagnostics never break it
+            out["roofline"] = {"ok": False, "error": str(exc)}
     # diagnostic: the axon tunnel adds a fixed ~30 ms host<->device round
     # trip to every synced execution (measured via a trivial program +
     # scalar fetch); report it so the wall number can be interpreted —

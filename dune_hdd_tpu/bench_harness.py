@@ -31,7 +31,8 @@ from .grid.structured import alu_cube_grid
 
 from .testcases._spe10_channel import CHANNEL
 
-__all__ = ["build_spe10_bench", "run_spe10_bench", "block_provenance_check"]
+__all__ = ["build_spe10_bench", "run_spe10_bench", "block_provenance_check",
+           "stencil2_roofline"]
 
 _FORCES = [
     ((0.95, 0.30), (1.10, 0.45), 2000.0),
@@ -485,8 +486,17 @@ def block_provenance_check(bisections: int = 2, partitioning=(20, 4),
     bf16, which assembles the block side to only ~2e-3 relative (measured),
     tripping the 1e-4 equality threshold; the bench's own assembly path
     already forces highest precision.
+
+    Pinned to the host CPU backend: the block side builds 80 local + ~150
+    coupling operators through eager jnp indexing (thousands of small
+    dispatches — each would cost the ~30 ms axon-tunnel RTT on TPU), and
+    the identity it asserts (bench stencil2 operator == BlockSWIPDG global
+    system, both rebuilt by the same deterministic builders) is
+    platform-independent.  This is what lets the check run at the full
+    bench size (768k: ~3 min; bisections > 8 still capped by default).
     """
-    with jax.default_matmul_precision("highest"):
+    with jax.default_matmul_precision("highest"), \
+            jax.default_device(jax.devices("cpu")[0]):
         return _block_provenance_check_impl(bisections, partitioning, nvec,
                                             seed)
 
@@ -629,4 +639,116 @@ def run_spe10_bench(bisections: int = 4, repeats: int = 3, **kw) -> dict:
         "mdof_per_s": mdofs,
         "residual": float(res),
         "all_times": times,
+    }
+
+
+def stencil2_roofline(bisections: int = 6, repeats: int = 7,
+                      pcg_iters: int = 100) -> dict:
+    """Achieved-HBM-bandwidth metrics for the stencil2 hot phases (VERDICT
+    r4 item 3: make perf regressions visible in the bench JSON).
+
+    Measures, with chained dispatch-free timing (scalar-fetch sync):
+
+    * ``copy_gbps`` — the on-device roofline: ``y = x + 1`` over an
+      N-float32 array streams 8N bytes (read + write);
+    * ``matvec_gbps`` — ``pcg_iters`` chained symmetric-storage SpMVs;
+      bytes model per matvec: the read plane set (symmetric storage reads
+      the 12 forward-edge plane pairs + upper-triangle self blocks ≈ half
+      of the 48N-byte full plane array) + input/output vectors (8N);
+    * ``assembly_gbps`` — the direct-to-planes structured assembly; bytes
+      model: the 48N-byte plane array written once (inputs are O(N/24)
+      scalar lattice fields, counted too).
+
+    The models count algorithmically-required traffic, so the printed GB/s
+    is a LOWER bound on achieved bandwidth (XLA may move more).
+    """
+    from .grid.boundaryinfo import make_boundary_info
+    from .grid.structured_order import structured_cell_order
+    from .la.stencil import StencilBlockEll
+    from .la.stencil_assembly import (
+        assemble_structured_spe10,
+        build_structured_assembly,
+        precompute_coefficient,
+        scale_planes,
+        structured_rhs,
+    )
+
+    grid = alu_cube_grid((0.0, 0.0), (5.0, 1.0), (100, 20),
+                         refinements=bisections)
+    binfo = make_boundary_info(
+        grid, {"type": "stuff.grid.boundaryinfo.alldirichlet"})
+    order = structured_cell_order(grid, (0.0, 0.0), (5.0, 1.0))
+    dfac = SumFunction(
+        [ConstantFunction(1.0),
+         ScaledFunction(IndicatorFunction(CHANNEL), -0.9)])
+    splan = build_structured_assembly(grid, order, binfo)
+    dfac_pre = precompute_coefficient(splan, dfac)
+    KY, KX = order.lattice
+    fy, fx = KY // MODEL1_NZ, KX // MODEL1_NX
+    field = jnp.asarray(_synthetic_model1_field(), dtype=jnp.float32)
+    n = grid.num_cells * 3
+
+    def _time(fn, *args):
+        out = fn(*args)
+        float(jnp.asarray(out).reshape(-1)[0])  # compile + sync
+        ts = []
+        for k in range(repeats):
+            t0 = time.perf_counter()
+            out = fn(*args)
+            float(jnp.asarray(out).reshape(-1)[0])
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    with jax.enable_x64(False), jax.default_matmul_precision("highest"):
+        cf2d = jnp.broadcast_to(
+            field.T[:, None, :, None], (MODEL1_NZ, fy, MODEL1_NX, fx)
+        ).reshape(KY, KX)
+        cf = jnp.broadcast_to(cf2d[None], (8, KY, KX))
+
+        @jax.jit
+        def asm(cf):
+            S = assemble_structured_spe10(splan, dfac_pre, cf)
+            B = structured_rhs(splan, IndicatorFunction(_FORCES))
+            S, B, s = scale_planes(S, B)
+            return S.planes.reshape(-1)[:1] + B.reshape(-1)[:1]
+
+        t_asm = _time(asm, cf)
+
+        S0 = assemble_structured_spe10(splan, dfac_pre, cf)
+        B0 = structured_rhs(splan, IndicatorFunction(_FORCES))
+        S, B, s = scale_planes(S0, B0)
+        Ssym = S.symmetrized()
+
+        @jax.jit
+        def mv_loop(planes, X):
+            A = StencilBlockEll(planes, Ssym.plan, sym=True)
+
+            def body(_, Y):
+                return A.matvec(Y)
+
+            Y = jax.lax.fori_loop(0, pcg_iters, body, X)
+            return Y.reshape(-1)[:1]
+
+        t_mv = _time(mv_loop, Ssym.planes, B) / pcg_iters
+
+        x = jnp.arange(n, dtype=jnp.float32)
+
+        @jax.jit
+        def copy(x):
+            return (x + 1.0).reshape(-1)[:1]
+
+        t_copy = _time(copy, x)
+
+    plane_bytes = float(np.prod(S.planes.shape)) * 4.0
+    sym_read_bytes = plane_bytes * 0.5  # forward edges + upper-tri self
+    vec_bytes = 4.0 * n
+    return {
+        "num_dofs": int(n),
+        "copy_gbps": round(8.0 * n / t_copy / 1e9, 2),
+        "matvec_ms": round(t_mv * 1e3, 4),
+        "matvec_gbps": round((sym_read_bytes + 2 * vec_bytes) / t_mv / 1e9,
+                             2),
+        "assembly_ms": round(t_asm * 1e3, 2),
+        "assembly_gbps": round((plane_bytes + 2 * vec_bytes) / t_asm / 1e9,
+                               2),
     }

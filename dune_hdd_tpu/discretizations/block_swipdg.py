@@ -191,12 +191,21 @@ class BlockSWIPDGDiscretization(StationaryDiscretization):
         correspond to *global* boundary faces of the right type."""
         sub = self.subgrid(ss)
         grid = self.ms_grid.grid
-        # map local faces to global: match by sorted vertex pair
-        lf = sub.vertex_map[sub.grid.faces]  # local faces in global vertex ids
-        key_local = np.sort(lf, axis=1)
-        key_global = np.sort(grid.faces, axis=1)
-        gdict = {tuple(k): i for i, k in enumerate(key_global.tolist())}
-        local_to_global = np.asarray([gdict[tuple(k)] for k in key_local.tolist()])
+        # map local faces to global: match by sorted vertex pair, encoded as
+        # a single int64 key and matched with searchsorted (the per-subdomain
+        # python-dict match was O(num_subdomains * global_faces) and dominated
+        # the 80-subdomain provenance build at 192k+ DoF)
+        if not hasattr(self, "_gface_sorted"):
+            kg = np.sort(grid.faces, axis=1).astype(np.int64)
+            keys = kg[:, 0] * np.int64(grid.num_vertices) + kg[:, 1]
+            order = np.argsort(keys, kind="stable")
+            self._gface_sorted = (keys[order], order)
+        gkeys, gorder = self._gface_sorted
+        lf = np.sort(sub.vertex_map[sub.grid.faces], axis=1).astype(np.int64)
+        lkeys = lf[:, 0] * np.int64(grid.num_vertices) + lf[:, 1]
+        pos = np.searchsorted(gkeys, lkeys)
+        assert np.array_equal(gkeys[pos], lkeys), "subgrid face not in grid"
+        local_to_global = gorder[pos]
         dmask = self.boundary_info.dirichlet_faces[local_to_global]
         nmask = self.boundary_info.neumann_faces[local_to_global]
         return np.nonzero(dmask)[0], np.nonzero(nmask)[0]

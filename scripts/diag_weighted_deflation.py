@@ -21,6 +21,9 @@ sys.path.insert(0, "/root/repo")
 
 import jax
 
+# the axon TPU-tunnel plugin injects itself regardless of JAX_PLATFORMS;
+# this diagnostic is a CPU-f64 forensic tool — force CPU explicitly
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 import jax.numpy as jnp
@@ -64,9 +67,14 @@ def main():
     dfac_pre = precompute_coefficient(splan, dfac)
     KY, KX = order.lattice
     fy, fx = KY // MODEL1_NZ, KX // MODEL1_NX
-    mid = (None if mid_arg == "none"
-           else ((KX // 4, KY // 4) if mid_arg == "auto"
-                 else tuple(int(v) for v in mid_arg.split(","))))
+    if mid_arg == "none":
+        mid = None
+    elif mid_arg == "auto":
+        mid = (KX // 4, KY // 4)
+    elif ";" in mid_arg:  # multi-level chain "mx1,my1;mx2,my2"
+        mid = [tuple(int(v) for v in p.split(",")) for p in mid_arg.split(";")]
+    else:
+        mid = tuple(int(v) for v in mid_arg.split(","))
     print(f"dofs={grid.num_cells*3} lattice=({KY},{KX}) macro={macro} "
           f"mid={mid}", flush=True)
 
@@ -101,14 +109,15 @@ def main():
             b64 - S64.matvec(X.astype(jnp.float64))))
 
     for name in ("unw64", "wgt64"):
-        if mode not in ("all", "kappa", name):
+        if mode not in ("all", "kappa", name) and not (
+                mode == "kappa-wgt" and name == "wgt64"):
             continue
         t0 = time.time()
         lmin, lmax = lanczos_bounds(S64, Ms[name], b64, k=80)
         print(f"{name}: kappa(M A) = {lmax/lmin:9.1f}  "
               f"[{lmin:.3e}, {lmax:.3e}] ({time.time()-t0:.0f}s)",
               flush=True)
-    if mode == "kappa":
+    if mode in ("kappa", "kappa-wgt"):
         return
     for name, Aop, rhs, mi in (("unw64", S64, b64, 3000),
                                ("wgt64", S64, b64, 3000),
