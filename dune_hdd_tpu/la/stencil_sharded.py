@@ -226,11 +226,28 @@ class ShardedStencilSystem:
         return apply_balanced
 
     # -- solves -------------------------------------------------------------
+    def lower_solve(self, **kw):
+        """AOT-lower (no execute) the sharded solve program — used by the
+        driver dryrun to validate sharding specs / padding / divisibility at
+        LARGE shapes without paying the execution (VERDICT r4 item 8)."""
+        run, args = self._solve_fn(**kw)
+        return run.lower(*args)
+
     def solve(self, tol: float = 1e-6, inner_iters: int = 150,
               inner_rtol: float = 1e-5, outer_max: int = 6,
               unroll: int = 4) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """f32 deflated PCG inside f64 refinement, fully sharded.  Returns
         (X [nd,8,KY,KX] sharded, true relative residual)."""
+        run, args = self._solve_fn(tol=tol, inner_iters=inner_iters,
+                                   inner_rtol=inner_rtol, outer_max=outer_max,
+                                   unroll=unroll)
+        X, res = run(*args)
+        return X, res[0]
+
+    def _solve_fn(self, tol: float = 1e-6, inner_iters: int = 150,
+                  inner_rtol: float = 1e-5, outer_max: int = 6,
+                  unroll: int = 4):
+        """(jitted run, args) for :meth:`solve` / :meth:`lower_solve`."""
         mesh = self.mesh
         axis = "domain"
         tol = float(tol)
@@ -314,6 +331,5 @@ class ShardedStencilSystem:
                 out_specs=(vec_spec, P("domain")),
             )(planes, B, *wargs)
 
-        X, res = run(self.planes, self.B,
-                     *((self.weight,) if have_w else ()))
-        return X, res[0]
+        return run, (self.planes, self.B) + (
+            (self.weight,) if have_w else ())
