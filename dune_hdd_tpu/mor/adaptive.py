@@ -66,6 +66,7 @@ class AdaptiveResult:
     estimates: List[float] = field(default_factory=list)
     enriched_subdomains: List[int] = field(default_factory=list)
     true_errors: List[float] = field(default_factory=list)
+    rb_bounds: List[float] = field(default_factory=list)
 
 
 def adaptive_lrbms(
@@ -82,6 +83,8 @@ def adaptive_lrbms(
     verbose: bool = False,
     marking="worst",
     marking_estimator_type: Optional[str] = None,
+    rb_bound: bool = True,
+    rb_product: str = "energy",
 ) -> AdaptiveResult:
     """Enrich per-subdomain bases adaptively for one target parameter mu.
 
@@ -100,7 +103,19 @@ def adaptive_lrbms(
     scripts/diag_adaptive_spe10_deep.py); marking on a localization-faithful
     component (e.g. "eta_DF_OS2014") decouples where-to-enrich from the
     certified stopping bound, like the discrete localization study's
-    indicator choice (OS2014_localization_study.cc:90-136)."""
+    indicator choice (OS2014_localization_study.cc:90-136).
+
+    ``rb_bound``: also evaluate the *reduced-consistent* Riesz residual
+    bound ||P^{-1}(f - A u_rb)||_P / sqrt(alpha_LB(mu)) each iteration
+    (recorded in ``result.rb_bounds``).  Unlike eta_OS2014_* — whose eta_R
+    term lives on the fixed detailed grid and therefore FLOORS (and can
+    rise) under basis enrichment — this bound measures exactly the
+    reduction error and falls with enrichment, so ``target_estimate``
+    stopping is honest: the loop stops when EITHER the detailed-grid
+    estimator OR the rb bound reaches the target.  This composes the
+    reference's pyMOR-side greedy estimator (thermalblock_main.py:298-355
+    test_quality semantics) with the LRBMS localization: OS2014 indicators
+    decide WHERE to enrich, the Riesz bound decides WHEN to stop."""
     from ..estimators.block_swipdg import BlockSWIPDGEstimators
 
     d = block_disc
@@ -132,13 +147,28 @@ def adaptive_lrbms(
     if track_true_errors:
         u_detailed = d.solve(mu, options=solver_options or {"type": "direct"})
 
+    riesz = None
+    if rb_bound:
+        from .residual import RieszResidualEstimator, min_theta_coercivity
+
+        mu_bar = estimator_parameters.get("mu_bar", mu)
+        coer = None
+        if d.parametric():
+            op_exp = d.get_operator().with_expanded_affine_part()
+            coer = min_theta_coercivity(op_exp, d.problem.parse_parameter(mu_bar))
+        kw = {"mu_bar": mu_bar} if d.get_product(rb_product).parametric() else {}
+        riesz = RieszResidualEstimator(d, product=rb_product, coercivity=coer, **kw)
+
     basis = globalize(local_bases)
     rm = reductor.reduce(basis)
     result = AdaptiveResult(rm, basis, local_bases)
     for it in range(max_enrichments + 1):
-        u_rb = rm.reconstruct(rm.solve(mu_p))
+        coeffs = rm.solve(mu_p)
+        u_rb = rm.reconstruct(coeffs)
         eta = BlockSWIPDGEstimators.estimate(d, u_rb, estimator_type, estimator_parameters)
         result.estimates.append(float(eta))
+        if riesz is not None:
+            result.rb_bounds.append(riesz.offline(basis).estimate(mu_p, coeffs))
         if track_true_errors:
             e = u_detailed - u_rb
             pm = d.product_matrix("h1_semi")
@@ -148,7 +178,10 @@ def adaptive_lrbms(
             if track_true_errors:
                 msg += f"  (true h1 err {result.true_errors[-1]:.3e})"
             print(msg)
-        if eta <= target_estimate or it == max_enrichments:
+        certified = eta <= target_estimate or (
+            riesz is not None and result.rb_bounds[-1] <= target_estimate
+        )
+        if certified or it == max_enrichments:
             break
         indicators = BlockSWIPDGEstimators.estimate_local(
             d, u_rb, marking_estimator_type or estimator_type,

@@ -213,4 +213,10 @@ for _mus, _values in {
 record("Spe10.adaptive.[20 4 1].mu0.1", "alu_conforming", 1, {
     "true_h1_semi": [12.31622, 7.502474, 6.707649],
     "eta_OS2014_*": [288.8299, 350.6335, 381.4010],
+    # the reduced-consistent Riesz residual bound (mor/residual.py composed
+    # into adaptive_lrbms, round 5): energy-norm-at-mu upper bound on the
+    # REDUCTION error — unlike eta_OS2014_* above it FALLS with enrichment
+    # (2.688 -> 2.218 while true_h1 falls 12.32 -> 6.71), so target_estimate
+    # stopping is honest (recorded 2026-08-19, run_adaptive_spe10_lock.py)
+    "rb_bound_energy": [2.687737, 2.437942, 2.218073],
 })

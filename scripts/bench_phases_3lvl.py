@@ -83,29 +83,48 @@ def main():
         mid = (KX // 4, KY // 4) if min(fx, fy) >= 8 else None
     elif mid_arg == "none":
         mid = None
+    elif ";" in mid_arg:
+        mid = [tuple(int(v) for v in part.split(","))
+               for part in mid_arg.split(";")]
     else:
         mid = tuple(int(v) for v in mid_arg.split(","))
     print(f"lattice=({KY},{KX}) macro={macro} mid={mid} ns={ns}", flush=True)
 
+    # O(N) setup arrays as jit ARGUMENTS, not baked HLO literals (the 12M
+    # remote-compile request otherwise overflows: HTTP 413 — same fix as
+    # bench_harness commit 336c154)
+    big = {
+        "pre": jax.tree.map(jnp.asarray, dfac_pre),
+        "qp_x": jnp.asarray(splan.vol_qp[..., 0], dtype=jnp.float32),
+        "qp_y": jnp.asarray(splan.vol_qp[..., 1], dtype=jnp.float32),
+    }
+
     @jax.jit
-    def asm(field):
+    def _asm_impl(field, big):
         with jax.enable_x64(False), jax.default_matmul_precision("highest"):
             ft = field.astype(jnp.float32).T
             cf2d = jnp.broadcast_to(
                 ft[:, None, :, None], (MODEL1_NZ, fy, MODEL1_NX, fx)
             ).reshape(KY, KX)
             cf = jnp.broadcast_to(cf2d[None], (8, KY, KX))
-            S = assemble_structured_spe10(splan, dfac_pre, cf)
-            B = structured_rhs(splan, force)
+            S = assemble_structured_spe10(splan, big["pre"], cf)
+            B = structured_rhs(splan, force, qp_xy=(big["qp_x"], big["qp_y"]))
             return scale_planes(S, B)
 
+    def asm(field):
+        return _asm_impl(field, big)
+
+    weighted = os.environ.get("PH_WEIGHTED", "1") == "1"
+
     @jax.jit
-    def solve(S, B):
+    def solve(S, B, s):
         with jax.enable_x64(False):
+            weight = (1.0 / s) if weighted else None
             if symmv:
                 S = S.symmetrized()
             M = stencil_deflation_preconditioner(
-                S, macro, newton_schulz=ns, mid_shape=mid, mid_cheb=cheb)
+                S, macro, newton_schulz=ns, mid_shape=mid, mid_cheb=cheb,
+                weight=weight)
         return stencil_refined_solve(
             S, B, M, tol=1e-6, inner_iters=inner,
             outer_max=int(os.environ.get("PH_OUTER", "6")),
@@ -119,10 +138,42 @@ def main():
     def mv(S, X):
         return S.matvec(X)
 
+    @jax.jit
+    def mbuild(S, B, s):
+        with jax.enable_x64(False):
+            weight = (1.0 / s) if weighted else None
+            if symmv:
+                S = S.symmetrized()
+            M = stencil_deflation_preconditioner(
+                S, macro, newton_schulz=ns, mid_shape=mid, mid_cheb=cheb,
+                weight=weight)
+            return M(B)
+
+    @jax.jit
+    def mapply(S, B, s, reps: int = 10):
+        with jax.enable_x64(False):
+            weight = (1.0 / s) if weighted else None
+            if symmv:
+                S = S.symmetrized()
+            M = stencil_deflation_preconditioner(
+                S, macro, newton_schulz=ns, mid_shape=mid, mid_cheb=cheb,
+                weight=weight)
+            import jax.lax as lax
+
+            def body(_, Y):
+                return M(Y)
+
+            return lax.fori_loop(0, 50, body, B)
+
     S, B, s = timed("assembly (direct planes + scale)", asm, field)
     X0 = jnp.zeros_like(B)
     timed("matvec x1", mv, S, X0 + 1.0)
-    out = timed("precond build + refined solve", solve, S, B)
+    if symmv:
+        Ssym = S.symmetrized()
+        timed("matvec x1 (sym)", mv, Ssym, X0 + 1.0)
+    t0 = timed("precond build + 1 apply", mbuild, S, B, s)
+    timed("precond build + 50 applies", mapply, S, B, s)
+    out = timed("precond build + refined solve", solve, S, B, s)
     X, res, iters = out
     print(f"  iters={int(iters)} res={float(res):.2e}", flush=True)
 

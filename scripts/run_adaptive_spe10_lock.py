@@ -47,11 +47,11 @@ def main():
         d, 0.1, tc.estimator_parameters(),
         initial_local_bases=init,
         max_enrichments=max_enr, target_estimate=1e-6,
-        marking=("doerfler", 0.5),
-        marking_estimator_type="eta_DF_OS2014",
+        marking=("doerfler", 0.85),
         track_true_errors=True, verbose=True,
         solver_options={"type": "direct"})
     print("estimates:", [f"{v:.6e}" for v in res.estimates], flush=True)
+    print("rb_bounds:", [f"{v:.6e}" for v in res.rb_bounds], flush=True)
     print("true_errors:", [f"{v:.6e}" for v in res.true_errors], flush=True)
     print("enriched:", res.enriched_subdomains, flush=True)
     print(f"total {time.time()-t0:.1f}s", flush=True)

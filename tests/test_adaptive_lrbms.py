@@ -29,6 +29,15 @@ def test_adaptive_enrichment_reduces_error():
     assert len(res.enriched_subdomains) == 6
     # every enrichment targets a subdomain picked by the local indicators
     assert set(res.enriched_subdomains) <= set(range(4))
+    # the reduced-consistent Riesz bound FALLS with enrichment (unlike
+    # eta_OS2014_*, whose eta_R term floors on the fixed detailed grid) and
+    # stays an upper-bound-shaped companion of the true error: recorded
+    # trajectory 1.589 -> 0.164 while true_h1 goes 1.986 -> 0.148
+    rb = np.asarray(res.rb_bounds)
+    assert rb.shape == (7,)
+    assert np.all(np.diff(rb) < 0)
+    assert rb[-1] < 0.15 * rb[0]
+    assert np.all(rb >= 0.3 * np.asarray(res.true_errors))
 
 
 @pytest.mark.slow
@@ -79,7 +88,13 @@ def test_adaptive_spe10_trajectory_lock():
                                 "alu_conforming", 1, "true_h1_semi")
     want_eta = expected_results("Spe10.adaptive.[20 4 1].mu0.1",
                                 "alu_conforming", 1, "eta_OS2014_*")
+    want_rb = expected_results("Spe10.adaptive.[20 4 1].mu0.1",
+                               "alu_conforming", 1, "rb_bound_energy")
     np.testing.assert_allclose(res.true_errors, want_err, rtol=0.05)
     np.testing.assert_allclose(res.estimates, want_eta, rtol=0.05)
+    # the reduced-consistent Riesz bound falls with enrichment while the
+    # detailed-grid eta_OS2014_* rises (its eta_R floor) — recorded round 5
+    np.testing.assert_allclose(res.rb_bounds, want_rb, rtol=0.05)
+    assert np.all(np.diff(res.rb_bounds) < 0)
     # the bulk marking targets the channel subdomains (true-error support)
     assert set(res.enriched_subdomains[0]) & set(range(46, 56))
