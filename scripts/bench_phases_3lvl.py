@@ -127,6 +127,7 @@ def main():
                 weight=weight)
         return stencil_refined_solve(
             S, B, M, tol=1e-6, inner_iters=inner,
+            inner_rtol=float(os.environ.get("PH_IRTOL", "1e-5")),
             outer_max=int(os.environ.get("PH_OUTER", "6")),
             unroll=4,
             dot_dtype=(jnp.float64 if os.environ.get("PH_DOTS", "f32") == "f64"
