@@ -88,16 +88,24 @@ def _select_mid_level(KY: int, KX: int, macro) -> Tuple[Optional[tuple], int]:
     fx, fy = KX // macro[0], KY // macro[1]
     if min(fx, fy) < 8:
         return None, cheb
-    # factor-2 chain: fine/2, fine/4, ... until the gap to macro is <= 4
+    # mid chain anchored at 4x the macro lattice, growing by factor-4 steps
+    # toward the fine lattice until the fine-to-mid gap is <= 4.  Measured
+    # (12M sweep, scripts/bench_sweep12m.py 2026-08-19): the SINGLE
+    # (4*macro) mid beats the factor-2-from-fine chain on WALL time at both
+    # 3M (fine/2 == 4*macro there) and 12M (2.62 s vs 5.26 s chain at
+    # irtol 1e-1+: the chain's deeper level stack costs ~9.4 ms per
+    # latency-bound M apply vs ~2.4 ms, which buys more than its iteration
+    # savings: 568 vs 428 iters).
     mids = []
-    mx, my = KX // 2, KY // 2
-    while mx % macro[0] == 0 and my % macro[1] == 0:
+    mx, my = 4 * macro[0], 4 * macro[1]
+    while mx < KX and my < KY and KX % mx == 0 and KY % my == 0:
         mids.append((mx, my))
-        if mx // macro[0] <= 4 or mx % 2 or my % 2:
+        if KX // mx <= 4:
             break
-        mx, my = mx // 2, my // 2
+        mx, my = 4 * mx, 4 * my
     if not mids:
         return None, cheb
+    mids.reverse()  # finest mid first (the deflation space's aggregation)
     return (mids[0] if len(mids) == 1 else mids), cheb
 
 
@@ -127,6 +135,18 @@ def build_spe10_bench(bisections: int = 4, maxiter: int = 300,
         # 300 -> 1500, 500 -> worse wall; each restart discards the Krylov
         # space and f32 re-loses the same low-energy modes)
         inner_iters = 300
+    # SHORT refinement sweeps at large sizes: per-sweep true progress is
+    # capped by f32 arithmetic (~0.65 orders at 12M, 2.3 at 3M — ROADMAP
+    # round-5 scoreboard), so sweeping the recurrence far below the cap
+    # wastes iterations; iterative refinement re-scales the residual each
+    # sweep.  Measured at 12.3M: inner_rtol 1e-5 x 6 sweeps STALLS at
+    # 1.2e-4; 2e-1 x ~50 short sweeps converges in 568 iters / 2.62 s
+    # (scripts/bench_sweep12m.py, 2026-08-19).
+    if "BENCH_IRTOL" in os.environ:
+        inner_rtol = float(os.environ["BENCH_IRTOL"])
+    else:
+        inner_rtol = 2e-1 if bisections >= 10 else 1e-5
+    outer_default = "120" if inner_rtol >= 1e-2 else "6"
     # MG levels at every 2nd bisection (one halving per level)
     grids = [
         alu_cube_grid((0.0, 0.0), (5.0, 1.0), (100, 20), refinements=b)
@@ -363,7 +383,8 @@ def build_spe10_bench(bisections: int = 4, maxiter: int = 300,
                     M = sm or jacobi_smoother(S)
             X, res, iters = stencil_refined_solve(
                 S, B, M, tol=tol, inner_iters=inner_iters,
-                outer_max=int(os.environ.get("BENCH_OUTER", "6")),
+                inner_rtol=inner_rtol,
+                outer_max=int(os.environ.get("BENCH_OUTER", outer_default)),
                 unroll=int(os.environ.get("BENCH_UNROLL", "4")),
                 dot_dtype=(jnp.float64 if os.environ.get(
                     "BENCH_DOTS", "f32") == "f64" else None),
@@ -417,7 +438,8 @@ def build_spe10_bench(bisections: int = 4, maxiter: int = 300,
                 M = sm or jacobi_smoother(S)
             X, res, iters = stencil_refined_solve(
                 S, B, M, tol=tol, inner_iters=inner_iters,
-                outer_max=int(os.environ.get("BENCH_OUTER", "6")),
+                inner_rtol=inner_rtol,
+                outer_max=int(os.environ.get("BENCH_OUTER", outer_default)),
                 unroll=int(os.environ.get("BENCH_UNROLL", "4")),
                 dot_dtype=(jnp.float64 if os.environ.get(
                     "BENCH_DOTS", "f32") == "f64" else None),

@@ -1233,7 +1233,9 @@ def stencil_pcg(A: StencilBlockEll, B: jnp.ndarray, M: Callable,
     an emulated-f64 dot reduction is ~12x f32 (the one pathological f64
     op), so dots default to A's dtype; f64 dots alone do NOT fix true
     progress (dots64 cell: recurrence converges but true residual stalls at
-    3.8e-2)."""
+    3.8e-2).  WARNING: at 12M DoF the emulated-f64 dot reduction CRASHED
+    the TPU worker process (kernel fault, 2026-08-19, bench_sweep12m
+    sweep-4 log) — do not enable at 10+ bisections."""
     adt = B.dtype          # matvec / preconditioner dtype
     vdt = vec_dtype or adt  # Krylov vector dtype
     mixed = vdt != adt
@@ -1303,6 +1305,13 @@ def stencil_refined_solve(
     B64 = B.astype(jnp.float64)
     bnorm = jnp.linalg.norm(B64)
     target = tol * jnp.maximum(bnorm, 1e-300)
+    # NOTE (round-5 negative result): updating the outer residual
+    # INCREMENTALLY with the f32 matvec of the correction (R <- R - scale *
+    # A32 dX) to skip the per-sweep emulated-f64 matvec does NOT work: the
+    # increment's error is eps32 * ||A|| * ||dX|| ~ eps32 * kappa(S A S) *
+    # scale — the very floor the f64 recompute exists to escape (measured:
+    # 768k-class tests stall at 7e-5).  The exact f64 recompute each sweep
+    # IS the engine of the iterative refinement.
 
     def cond(state):
         X, R64, rnorm, k, it = state

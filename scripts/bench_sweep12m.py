@@ -136,9 +136,16 @@ def main():
             with jax.enable_x64(False):
                 weight = (1.0 / s) if str(cfg["weighted"]) == "1" else None
                 A = S.symmetrized() if str(cfg["sym"]) == "1" else S
-                M = stencil_deflation_preconditioner(
-                    A, macro, newton_schulz=int(cfg["ns"]), mid_shape=mid,
-                    mid_cheb=int(cfg["cheb"]), weight=weight)
+                if cfg.get("pc2") == "mg":
+                    from dune_hdd_tpu.la.stencil_multigrid import (
+                        stencil_multigrid_preconditioner)
+
+                    M = stencil_multigrid_preconditioner(
+                        A, newton_schulz=int(cfg["ns"]))
+                else:
+                    M = stencil_deflation_preconditioner(
+                        A, macro, newton_schulz=int(cfg["ns"]), mid_shape=mid,
+                        mid_cheb=int(cfg["cheb"]), weight=weight)
             return stencil_refined_solve(
                 A, B, M, tol=1e-6, inner_iters=int(cfg["inner"]),
                 inner_rtol=float(cfg["irtol"]),

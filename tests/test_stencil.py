@@ -528,8 +528,11 @@ def test_multilevel_mid_chain(system):
 
 
 def test_select_mid_level_builds_chain():
-    """Auto mid selection: single factor-2 mid at 3M-DoF lattice sizes, a
-    factor-2 chain at 12M+ where one mid would leave a factor-8 gap."""
+    """Auto mid selection (round-5 rule): mids anchored at 4x the macro
+    lattice, factor-4 steps toward fine until the fine-to-mid gap is <= 4.
+    Measured at 12M (scripts/bench_sweep12m.py): the single (400, 80) mid
+    beats the factor-2-from-fine chain on wall time (2.62 s vs 5.26 s) —
+    the chain's deeper level stack is latency-bound per M apply."""
     import os as _os
     from unittest import mock
 
@@ -537,15 +540,16 @@ def test_select_mid_level_builds_chain():
 
     with mock.patch.dict(_os.environ, {}, clear=False):
         _os.environ.pop("BENCH_MID", None)
-        # 3M lattice (KY=160, KX=800), macro (100, 20): one mid at fine/2
+        # 3M lattice (KY=160, KX=800), macro (100, 20): one mid at 4x macro
         mid, _ = _select_mid_level(160, 800, (100, 20))
         assert mid == (400, 80)
-        # 12M lattice (KY=320, KX=1600): chain fine/2 -> fine/4
+        # 12M lattice (KY=320, KX=1600): still the single 4x-macro mid
+        # (fine-to-mid gap exactly 4)
         mid, _ = _select_mid_level(320, 1600, (100, 20))
-        assert mid == [(800, 160), (400, 80)]
-        # 49M lattice (KY=640, KX=3200): chain down to gap 4
+        assert mid == (400, 80)
+        # 49M lattice (KY=640, KX=3200): gap 8 -> insert the 16x-macro mid
         mid, _ = _select_mid_level(640, 3200, (100, 20))
-        assert mid == [(1600, 320), (800, 160), (400, 80)]
+        assert mid == [(1600, 320), (400, 80)]
         # 768k (KY=80, KX=400): factor 4 -> no mid
         mid, _ = _select_mid_level(80, 400, (100, 20))
         assert mid is None
