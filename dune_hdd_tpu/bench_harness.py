@@ -139,14 +139,41 @@ def build_spe10_bench(bisections: int = 4, maxiter: int = 300,
     # capped by f32 arithmetic (~0.65 orders at 12M, 2.3 at 3M — ROADMAP
     # round-5 scoreboard), so sweeping the recurrence far below the cap
     # wastes iterations; iterative refinement re-scales the residual each
-    # sweep.  Measured at 12.3M: inner_rtol 1e-5 x 6 sweeps STALLS at
-    # 1.2e-4; 2e-1 x ~50 short sweeps converges in 568 iters / 2.62 s
-    # (scripts/bench_sweep12m.py, 2026-08-19).
+    # sweep.  Measured at 12.3M (scripts/bench_sweep12m.py, 2026-08-19):
+    # inner_rtol 1e-5 x 6 sweeps STALLS at 1.2e-4; the wall keeps
+    # improving as sweeps shorten — 2e-1 2.62 s, 5e-1 1.48 s, 7e-1
+    # 1.28 s (212 iters), 8e-1 1.38, 9e-1 1.56 — the optimum is ~7e-1,
+    # where each sweep barely out-runs the per-sweep cap and the f64
+    # outer recompute re-anchors the residual every few iterations.
+    # Size-scaled sweep-exit tolerance, measured-optimal per size
+    # (scripts/bench_sweep12m.py at bisections 4/6/8/10, 2026-08-19):
+    #   192k: 1e-5 -> 35.2 ms/180 it; 1e-1 -> 34.3/84 (latency-bound)
+    #   768k: 1e-5 -> 103.3 ms/456 it; 1e-1 -> 59.3/172
+    #   3M:   1e-5 -> 515.9 ms/408 it; 3e-1 -> 172.8/112
+    #   12M:  2e-1 -> 2.62 s/568 it;   7e-1 -> 1.28 s/212
+    # Short sweeps win MORE with size because the f32 per-sweep true-
+    # progress cap shrinks (~3 orders at 768k, 0.65 at 12M): iterating
+    # the recurrence past the cap is wasted, and the f64 outer residual
+    # recompute re-anchors each sweep.
     if "BENCH_IRTOL" in os.environ:
         inner_rtol = float(os.environ["BENCH_IRTOL"])
+    elif bisections >= 10:
+        inner_rtol = 7e-1
+    elif bisections >= 8:
+        inner_rtol = 3e-1
     else:
-        inner_rtol = 2e-1 if bisections >= 10 else 1e-5
-    outer_default = "120" if inner_rtol >= 1e-2 else "6"
+        inner_rtol = 1e-1
+    if inner_rtol >= 3e-1:
+        outer_default = "500"  # short sweeps: ~2-6 iters each
+    elif inner_rtol >= 1e-2:
+        outer_default = "120"
+    else:
+        outer_default = "6"
+    # unroll 2: measured equal-or-better at every size with short sweeps
+    # (192k 33.2 vs 34.3 ms, 3M 172.8 vs 183.7, 12M 1.48 vs 1.68 s) —
+    # sweeps exit every few iterations, so deep unrolls overshoot the
+    # exit test
+    unroll_default = "2"
     # MG levels at every 2nd bisection (one halving per level)
     grids = [
         alu_cube_grid((0.0, 0.0), (5.0, 1.0), (100, 20), refinements=b)
@@ -385,7 +412,7 @@ def build_spe10_bench(bisections: int = 4, maxiter: int = 300,
                 S, B, M, tol=tol, inner_iters=inner_iters,
                 inner_rtol=inner_rtol,
                 outer_max=int(os.environ.get("BENCH_OUTER", outer_default)),
-                unroll=int(os.environ.get("BENCH_UNROLL", "4")),
+                unroll=int(os.environ.get("BENCH_UNROLL", unroll_default)),
                 dot_dtype=(jnp.float64 if os.environ.get(
                     "BENCH_DOTS", "f32") == "f64" else None),
                 vec_dtype=(jnp.float64 if os.environ.get(
@@ -440,7 +467,7 @@ def build_spe10_bench(bisections: int = 4, maxiter: int = 300,
                 S, B, M, tol=tol, inner_iters=inner_iters,
                 inner_rtol=inner_rtol,
                 outer_max=int(os.environ.get("BENCH_OUTER", outer_default)),
-                unroll=int(os.environ.get("BENCH_UNROLL", "4")),
+                unroll=int(os.environ.get("BENCH_UNROLL", unroll_default)),
                 dot_dtype=(jnp.float64 if os.environ.get(
                     "BENCH_DOTS", "f32") == "f64" else None),
                 vec_dtype=(jnp.float64 if os.environ.get(
