@@ -754,14 +754,25 @@ def stencil2_roofline(bisections: int = 6, repeats: int = 7,
         ).reshape(KY, KX)
         cf = jnp.broadcast_to(cf2d[None], (8, KY, KX))
 
+        # chain asm_reps assemblies behind a scalar data dependency so the
+        # per-assembly time excludes the ~25 ms tunnel dispatch RTT (a
+        # single-dispatch measurement at 768k reads 28 ms of which ~25 is
+        # RTT); the carry-scaled cf defeats loop-invariant hoisting
+        asm_reps = 4
+
         @jax.jit
         def asm(cf):
-            S = assemble_structured_spe10(splan, dfac_pre, cf)
-            B = structured_rhs(splan, IndicatorFunction(_FORCES))
-            S, B, s = scale_planes(S, B)
-            return S.planes.reshape(-1)[:1] + B.reshape(-1)[:1]
+            def body(_, acc):
+                cfk = cf + acc[0] * 0.0
+                S = assemble_structured_spe10(splan, dfac_pre, cfk)
+                B = structured_rhs(splan, IndicatorFunction(_FORCES))
+                S, B, s = scale_planes(S, B)
+                return S.planes.reshape(-1)[:1] + B.reshape(-1)[:1]
 
-        t_asm = _time(asm, cf)
+            return jax.lax.fori_loop(
+                0, asm_reps, body, jnp.zeros((1,), jnp.float32))
+
+        t_asm = _time(asm, cf) / asm_reps
 
         S0 = assemble_structured_spe10(splan, dfac_pre, cf)
         B0 = structured_rhs(splan, IndicatorFunction(_FORCES))
@@ -781,12 +792,16 @@ def stencil2_roofline(bisections: int = 6, repeats: int = 7,
         t_mv = _time(mv_loop, Ssym.planes, B) / pcg_iters
 
         x = jnp.arange(n, dtype=jnp.float32)
+        copy_reps = 100
 
         @jax.jit
         def copy(x):
-            return (x + 1.0).reshape(-1)[:1]
+            def body(_, y):
+                return y + 1.0
 
-        t_copy = _time(copy, x)
+            return jax.lax.fori_loop(0, copy_reps, body, x).reshape(-1)[:1]
+
+        t_copy = _time(copy, x) / copy_reps
 
     plane_bytes = float(np.prod(S.planes.shape)) * 4.0
     sym_read_bytes = plane_bytes * 0.5  # forward edges + upper-tri self
