@@ -32,6 +32,16 @@ OUTCOME (round 4, 2026-08-17, this tunnel):
   production SpMV (la/stencil.py, ~29 GB/s of the ~62 GB/s roofline).
   The fixed kernel here is compile-ready for hardware with a live Mosaic
   path.
+
+OUTCOME (round 5, 2026-08-19, this tunnel): third bounded retry
+(`--mode guarded`, 120 s): the remote Mosaic compile still hangs
+(subprocess killed at timeout; the main session and TPU worker survive).
+Remote Mosaic compilation remains unavailable through this tunnel; the
+XLA plane path stays the production SpMV — now measured at ~87 GB/s at
+768k / ~194 GB/s at 3M effective matvec bandwidth vs a ~93 GB/s chained
+copy roofline at 3M (bench.py `roofline` field), i.e. the XLA path now
+SATURATES the measured roofline and the original 2x Pallas motivation
+(29 vs 62 GB/s, round 3) no longer applies.
 """
 import argparse
 import subprocess
