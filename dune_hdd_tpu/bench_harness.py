@@ -354,8 +354,20 @@ def build_spe10_bench(bisections: int = 4, maxiter: int = 300,
             "from_soa": jnp.asarray(_from_soa_g),
         }
 
+        # TWO jits at >= 10 bisections, ONE below: compiling assembly and
+        # solve as a single program costs ~0.4 s extra at 12.3M DoF
+        # (1.757 s fused vs 1.277 solve + ~0.07 assembly split,
+        # scripts/bench_sweep12m.py 2026-08-19 — an XLA layout/fusion
+        # interaction between the assembly epilogue and the solve loop),
+        # but each extra dispatch boundary pays a full ~25 ms tunnel RTT:
+        # measured at 768k the split runs 92 vs 67 ms fused.  BENCH_SPLIT
+        # ∈ {auto,0,1} overrides.
+        _split_env = os.environ.get("BENCH_SPLIT", "auto")
+        _split = (_split_env == "1"
+                  or (_split_env == "auto" and bisections >= 10))
+
         @jax.jit
-        def _fused_structured_impl(field, big):
+        def _asm_structured_impl(field, big):
             with jax.enable_x64(False), jax.default_matmul_precision("highest"):
                 f32field = field.astype(jnp.float32)
                 cf = _broadcast_field(f32field)
@@ -364,7 +376,11 @@ def build_spe10_bench(bisections: int = 4, maxiter: int = 300,
                     family_chunks=int(os.environ.get("BENCH_CHUNKS", "1")))
                 B = structured_rhs(splan, force,
                                    qp_xy=(big["qp_x"], big["qp_y"]))
-                S, B, s = scale_planes(S, B)
+                return scale_planes(S, B)
+
+        @jax.jit
+        def _solve_structured_impl(S, B, s, from_soa):
+            with jax.enable_x64(False), jax.default_matmul_precision("highest"):
                 # weighted deflation space Z_w = diag(1/s) Z: the scaled
                 # system S A S has near-kernel D^{1/2} 1, not constants —
                 # w = 1/s restores it (measured at 3M DoF: kappa(M A)
@@ -417,10 +433,18 @@ def build_spe10_bench(bisections: int = 4, maxiter: int = 300,
                     "BENCH_DOTS", "f32") == "f64" else None),
                 vec_dtype=(jnp.float64 if os.environ.get(
                     "BENCH_VEC", "f32") == "f64" else None))
-            u = (X * s.astype(X.dtype)).reshape(-1)[big["from_soa"]]
+            u = (X * s.astype(X.dtype)).reshape(-1)[from_soa]
             return u, res
 
+        @jax.jit
+        def _fused_structured_impl(field, big):
+            S, B, s = _asm_structured_impl(field, big)
+            return _solve_structured_impl(S, B, s, big["from_soa"])
+
         def fused_structured(field):
+            if _split:
+                S, B, s = _asm_structured_impl(field, _big)
+                return _solve_structured_impl(S, B, s, _big["from_soa"])
             return _fused_structured_impl(field, _big)
 
     if preconditioner == "stencil":
