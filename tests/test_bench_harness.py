@@ -9,6 +9,22 @@ import pytest
 from dune_hdd_tpu.bench_harness import build_spe10_bench, run_spe10_bench
 
 
+def test_split_jit_path_matches_fused(monkeypatch):
+    """BENCH_SPLIT=1 (assembly and solve as two XLA programs, the >=10
+    bisections default since the fused program pays ~0.4 s at 12.3M DoF)
+    must produce the same solution and residual as the fused program."""
+    fnf, field, _ = build_spe10_bench(bisections=2, tol=1e-6,
+                                      preconditioner="stencil2")
+    uf, resf = fnf(field)
+    monkeypatch.setenv("BENCH_SPLIT", "1")
+    fns, _, _ = build_spe10_bench(bisections=2, tol=1e-6,
+                                  preconditioner="stencil2")
+    us, ress = fns(field)
+    assert float(ress) <= 1e-6
+    d = np.abs(np.asarray(uf) - np.asarray(us)).max()
+    assert d / np.abs(np.asarray(uf)).max() < 1e-6, d
+
+
 @pytest.mark.slow
 def test_stencil2_bench_converges_and_matches():
     r = run_spe10_bench(bisections=2, repeats=1, tol=1e-6,
