@@ -216,3 +216,24 @@ class ThermalblockExample(LinearellipticExampleBlockSWIPDG):
         cfg["pymor.extension_algorithm_product"] = "h1_semi"
         cfg["pymor.greedy_error_norm"] = "h1_semi"
         return cfg
+
+    def initialize_tensor(self, dim: int = 3, num_elements=8,
+                          num_blocks=(2, 2, 2),
+                          boundary_info=None) -> "ThermalblockExample":
+        """The ThermalblockExample<SGrid<3,3>> instantiation
+        (examples/linearelliptic/thermalblock.hh:91): a d-dimensional
+        parametric thermalblock on a tensor grid.  The reference selects d
+        at compile time via GridType; here it is a runtime argument.  Uses
+        the Q1 tensor CG discretization (the 3D discretization surface,
+        cg.cc:21) — the block-SWIPDG layer stays 2D."""
+        from ..discretizations.tensor_cg import TensorCGDiscretization
+        from ..grid.tensor import tensor_grid
+        from ..problems.thermalblock import ThermalblockProblem
+
+        num_elements = ([int(num_elements)] * dim
+                        if np.isscalar(num_elements) else list(num_elements))
+        problem = ThermalblockProblem(num_blocks=tuple(num_blocks)[:dim])
+        grid = tensor_grid([0.0] * dim, [1.0] * dim, num_elements)
+        self._discretization = TensorCGDiscretization(
+            grid, boundary_info, problem)
+        return self

@@ -214,9 +214,10 @@ class FlatTopFunction(Function):
 
 
 class CheckerboardFunction(Function):
-    """Piecewise-constant on an nx-by-ny partition of [lower, upper] —
-    Pymor::Functions::Checkerboard's nonparametric core
-    (thermalblock diffusion, problems/thermalblock.hh:106)."""
+    """Piecewise-constant on a tensor partition of [lower, upper] in d = 1,
+    2, 3 — Pymor::Functions::Checkerboard's nonparametric core
+    (thermalblock diffusion, problems/thermalblock.hh:106; the reference is
+    dimension-templated and instantiated up to SGrid<3,3>)."""
 
     def __init__(self, lower, upper, num_elements, values, name: str = "checkerboard"):
         self.lower = jnp.asarray(lower, dtype=jnp.result_type(float))
@@ -233,10 +234,17 @@ class CheckerboardFunction(Function):
 
     def _block_index(self, x):
         ne = jnp.asarray(self.num_elements, dtype=x.dtype)
-        rel = (x - self.lower) / (self.upper - self.lower)
+        rel = (x[..., : len(self.num_elements)] - self.lower) / (
+            self.upper - self.lower)
         ij = jnp.clip(jnp.floor(rel * ne), 0, ne - 1).astype(jnp.int32)
-        # block ordering: ix + nx * iy (dune-stuff row-major over x fastest)
-        return ij[..., 0] + self.num_elements[0] * ij[..., 1]
+        # block ordering: x fastest — ix + nx*(iy + ny*iz), the dune-stuff
+        # Checkerboard subdomain numbering (stuff/functions/checkerboard.hh)
+        idx = ij[..., 0]
+        stride = 1
+        for a in range(1, len(self.num_elements)):
+            stride *= self.num_elements[a - 1]
+            idx = idx + stride * ij[..., a]
+        return idx
 
     def __call__(self, x):
         return self.values[self._block_index(x)]
@@ -334,24 +342,21 @@ def make_checkerboard_decomposition(
 ) -> ParametricFunction:
     """Parametric checkerboard: one indicator component + one parameter entry
     per block (Pymor::Functions::Checkerboard with parameter_name, the
-    thermalblock diffusion factor, thermalblock.hh:106-112)."""
-    nx, ny = int(num_elements[0]), int(num_elements[1])
-    nblocks = nx * ny
-    lower = np.asarray(lower, dtype=float)
-    upper = np.asarray(upper, dtype=float)
-    dx = (upper - lower) / np.array([nx, ny])
+    thermalblock diffusion factor, thermalblock.hh:106-112).  Dimension-
+    generic (d = 1, 2, 3) like the reference's template; block numbering is
+    x fastest (ix + nx*(iy + ny*iz))."""
+    ne = tuple(int(n) for n in num_elements)
+    nblocks = int(np.prod(ne))
+    lower = np.asarray(lower, dtype=float)[: len(ne)]
+    upper = np.asarray(upper, dtype=float)[: len(ne)]
     pt = ParameterType({parameter_name: nblocks})
     dec = AffineDecomposition()
-    for iy in range(ny):
-        for ix in range(nx):
-            lo = lower + dx * np.array([ix, iy])
-            hi = lo + dx
-            block = ix + nx * iy
-            values = np.zeros(nblocks)
-            values[block] = 1.0
-            comp = CheckerboardFunction(lower, upper, (nx, ny), values,
-                                        name=f"{name}_{block}")
-            dec.register_component(
-                comp, ParameterFunctional(pt, f"{parameter_name}[{block}]")
-            )
+    for block in range(nblocks):
+        values = np.zeros(nblocks)
+        values[block] = 1.0
+        comp = CheckerboardFunction(lower, upper, ne, values,
+                                    name=f"{name}_{block}")
+        dec.register_component(
+            comp, ParameterFunctional(pt, f"{parameter_name}[{block}]")
+        )
     return dec

@@ -30,18 +30,26 @@ class ThermalblockProblem(DefaultProblem):
     def __init__(
         self,
         num_blocks: Sequence[int] = (4, 4),
-        lower_left=(0.0, 0.0),
-        upper_right=(1.0, 1.0),
+        lower_left=None,
+        upper_right=None,
         parameter_name: str = "diffusion_factor",
     ):
-        self.num_blocks = tuple(int(n) for n in num_blocks)[:2]
+        # dimension-generic like the reference's template (instantiated up
+        # to SGrid<3,3>, examples/linearelliptic/thermalblock.hh:89-91): the
+        # length of num_blocks selects d in {1, 2, 3}
+        self.num_blocks = tuple(int(n) for n in num_blocks)
+        d = len(self.num_blocks)
+        if not 1 <= d <= 3:
+            raise ValueError(f"num_blocks must have length 1..3, got {d}")
+        lower_left = (0.0,) * d if lower_left is None else tuple(lower_left)[:d]
+        upper_right = (1.0,) * d if upper_right is None else tuple(upper_right)[:d]
         diffusion = make_checkerboard_decomposition(
             lower_left, upper_right, self.num_blocks, parameter_name,
             name="diffusion_factor",
         )
         super().__init__(
             diffusion_factor=diffusion,
-            diffusion_tensor=nonparametric(constant_matrix(1.0)),
+            diffusion_tensor=nonparametric(constant_matrix(1.0, dim=d)),
             force=nonparametric(ConstantFunction(1.0, "force")),
             dirichlet=nonparametric(ConstantFunction(0.0, "dirichlet")),
             neumann=nonparametric(ConstantFunction(0.0, "neumann")),
@@ -56,9 +64,12 @@ class ThermalblockProblem(DefaultProblem):
         cfg = dict(config or {})
         sub = dict(cfg.get("diffusion_factor", {}))
         ne = sub.get("num_elements", [4, 4, 4])
-        return cls(num_blocks=ne[:2],
-                   lower_left=sub.get("lower_left", (0.0, 0.0)),
-                   upper_right=sub.get("upper_right", (1.0, 1.0)))
+        # the reference fixes d at compile time via GridType; the config
+        # carries it here (default 2 keeps the 2D example/config surface)
+        dim = int(cfg.get("dim", sub.get("dim", 2)))
+        return cls(num_blocks=ne[:dim],
+                   lower_left=sub.get("lower_left", (0.0,) * dim),
+                   upper_right=sub.get("upper_right", (1.0,) * dim))
 
     def type(self) -> str:
         return self.static_id
