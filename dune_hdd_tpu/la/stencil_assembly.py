@@ -98,6 +98,30 @@ def build_structured_assembly(grid: Grid, order, binfo,
     (qorder_vol = lam.order + kap.order + 2(p-1) + 2, qorder_face =
     2p + coefficient order + 1, side_eps = 1e-3 for f32 / 1e-7 for f64 —
     cf. ops/assembly.elliptic_cell_matrices, ops/swipdg)."""
+    import jax as _jax
+
+    from ..ops.spaces import dg_space
+
+    # pin the (tiny, representative-cell) shape evaluations below to the
+    # host CPU backend: on the remote-TPU platform each op-by-op jnp call
+    # pays a tunnel RTT + compile — ~100 dispatches that turn a ~1-min
+    # numpy setup into many minutes of idle waiting at 12M DoF (same
+    # rationale as precompute_coefficient)
+    try:
+        _ctx = _jax.default_device(_jax.local_devices(backend="cpu")[0])
+    except RuntimeError:  # no cpu backend registered
+        from contextlib import nullcontext
+
+        _ctx = nullcontext()
+    with _ctx:
+        return _build_structured_assembly_impl(
+            grid, order, binfo, space_order, qorder_vol, qorder_face,
+            side_eps)
+
+
+def _build_structured_assembly_impl(grid: Grid, order, binfo,
+                                    space_order, qorder_vol, qorder_face,
+                                    side_eps) -> StructuredAssemblyPlan:
     from ..ops.spaces import dg_space
 
     space = dg_space(grid, space_order)
