@@ -131,18 +131,31 @@ def greedy_rb(
     if estimator is not None:
         online = estimator.offline(basis)
     result.reduced_model = rm
+    stacked = coercivities = None
+    if estimator is not None and training_set:
+        # one fused vmapped program scores ALL candidates per iteration
+        # (mor/batch.py) instead of a Python loop of tiny dispatches
+        from .batch import batched_estimates, stack_parameters
+
+        stacked = stack_parameters(discretization.problem, training_set)
+        if estimator.coercivity is not None:
+            coercivities = np.asarray(
+                [float(estimator.coercivity(
+                    discretization.problem.parse_parameter(mu)))
+                 for mu in training_set])
     for it in range(result.extensions, max_extensions + 1):
-        errors = []
-        for mu in training_set:
-            if rm.dim == 0 and estimator is None:
-                e = float("inf")
-            elif estimator is not None:
-                e = online.estimate(mu, rm.solve(mu) if rm.dim else jnp.zeros((0,)))
-            elif use_estimator == "algebraic":
-                e = reductor.residual_norm(rm, mu)
-            else:
-                e = reductor.true_error(rm, mu, error_norm, solver_options)
-            errors.append(e)
+        if estimator is not None and training_set:
+            errors = list(batched_estimates(online, rm, stacked, coercivities))
+        else:
+            errors = []
+            for mu in training_set:
+                if rm.dim == 0 and estimator is None:
+                    e = float("inf")
+                elif use_estimator == "algebraic":
+                    e = reductor.residual_norm(rm, mu)
+                else:
+                    e = reductor.true_error(rm, mu, error_norm, solver_options)
+                errors.append(e)
         worst = int(np.argmax(errors))
         max_err = errors[worst]
         result.max_errors.append(max_err if np.isfinite(max_err) else -1.0)
