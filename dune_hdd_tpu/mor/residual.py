@@ -90,7 +90,8 @@ class RieszResidualEstimator:
     snapshot in a greedy step only triggers P-solves for the new rows)."""
 
     def __init__(self, discretization, product: str = "h1_semi",
-                 coercivity: Optional[Callable] = None, mu_bar=None):
+                 coercivity: Optional[Callable] = None, mu_bar=None,
+                 constrain_dirichlet: bool = True):
         d = discretization
         self.d = d
         pm = d.get_product(product)
@@ -102,6 +103,22 @@ class RieszResidualEstimator:
             P = pm.freeze(d.problem.parse_parameter(mu_bar))
         else:
             P = d.product_matrix(product)
+        # CG discretizations assemble their products UNCONSTRAINED
+        # (cg.hh:291-330), so h1_semi carries the constants kernel: the
+        # Riesz solve then amplifies the residual's kernel component by
+        # the 1e-12 regularization below — 1e6x-scale absolute estimates.
+        # Constraining the Dirichlet DoFs (unit diagonal) makes P SPD on
+        # the active space, i.e. the proper constrained-H1 dual norm;
+        # residuals of the constrained system vanish at Dirichlet rows,
+        # so those rows are inert.  DG spaces (weak BCs) are untouched.
+        if constrain_dirichlet and getattr(d.space, "continuous", True):
+            binfo = getattr(d, "boundary_info", None)
+            dirv = getattr(binfo, "dirichlet_vertices", None)
+            if dirv is not None:
+                dirv = np.asarray(dirv)
+                if dirv.any() and dirv.shape[0] == P.pattern.shape[0]:
+                    P = (P.with_constrained_rows(dirv, unit_diagonal=True)
+                         .with_constrained_cols(dirv, keep_unit_diag=True))
         self._P = P
         import scipy.sparse as sp
         import scipy.sparse.linalg as spla
